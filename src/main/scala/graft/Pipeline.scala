@@ -1,0 +1,62 @@
+package graft
+
+import graft.model._
+import graft.operators._
+import graft.sources.Corpus
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end knowledge-graph construction pipeline (BASELINE.json
+  * north_star): documents -> sentences -> LU match -> frame classify
+  * (broadcast model, mapPartitions) -> entity link (broadcast alias
+  * join) -> canonicalize -> triples (∪ semi-structured path) -> dedup.
+  *
+  * Shuffle discipline (SURVEY.md §3): one explicit repartition by
+  * hash(doc_id) at ingest; extraction+classification+linking are then
+  * partition-local or broadcast; the only later exchanges are the
+  * subject-attach join and the dedup window — both keyed by doc_id
+  * first, so AQE can coalesce them.
+  */
+object Pipeline {
+
+  /** Number of ingest partitions: defaults to shuffle partitions. */
+  def ingestPartitions(spark: SparkSession): Int =
+    spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
+  def docsFor(spark: SparkSession, sfDir: String): Dataset[Doc] =
+    Corpus.spansTable(spark, sfDir)
+      .repartition(ingestPartitions(spark), col("doc_id"))
+
+  /** Full text-path: docs -> deduped triples DataFrame. */
+  def textPath(docs: Dataset[Doc], strategy: String = "n2n"): DataFrame = {
+    val spark = docs.sparkSession
+    val sents = Extraction.sentences(docs)
+    val lus = if (strategy == "121") Extraction.match121(sents)
+              else Extraction.matchN2n(sents)
+    val bc = spark.sparkContext.broadcast(Classification.defaultModel)
+    val cls = Classification.classify(lus, bc)
+    val linked = Linking.link(cls)
+    Serialize.textTriples(cls, linked)
+  }
+
+  /** Complete pipeline incl. semi-structured union + dedup. */
+  def triples(spark: SparkSession, sfDir: String, strategy: String = "n2n"): DataFrame = {
+    val docs = docsFor(spark, sfDir)
+    val text = textPath(docs, strategy)
+    val semi = Serialize.semiTriples(Corpus.semiDocs(spark, sfDir))
+    Serialize.unionDedup(text, semi)
+  }
+
+  /** Pipeline over a pure fixture corpus (unit/golden tests). */
+  def fixtureTriples(spark: SparkSession, n: Int, strategy: String = "n2n"): DataFrame = {
+    val docs = Corpus.fixtureCorpus(spark, n)
+      .repartition(ingestPartitions(spark), col("doc_id"))
+    val text = textPath(docs, strategy)
+    val semi = Serialize.semiTriples(Corpus.fixtureSemi(spark, n))
+    Serialize.unionDedup(text, semi)
+  }
+
+  /** P/R vs gold on the sfDir corpus — the BASELINE gate. */
+  def evaluate(spark: SparkSession, sfDir: String): DataFrame =
+    Serialize.evaluate(triples(spark, sfDir), Corpus.goldTriples(spark, sfDir).toDF())
+}

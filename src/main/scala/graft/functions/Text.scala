@@ -1,0 +1,75 @@
+package graft.functions
+
+import graft.fixtures.Lexicon
+import graft.model.Tok
+
+/** Deterministic tokenizer + POS/lemma tagger (Spark-side replacement
+  * for the reference's TreeTagger wrapper, public Wikidata/StrepHit
+  * strephit/commons/{tokenize,pos_tag}.py). Pure functions — safe in
+  * typed Dataset maps; no model files, no native binaries.
+  */
+object Text {
+
+  private val digits = "\\d+".r.pattern
+  private val decade = "\\d{2,4}s".r.pattern
+  private val iso = "\\d{4}-\\d{2}-\\d{2}".r.pattern
+  private val slash = "\\d{1,2}/\\d{1,2}/\\d{4}".r.pattern
+
+  def tokenize(text: String): Array[String] =
+    text.split("\\s+").filter(_.nonEmpty)
+
+  /** Tag one token. POS tags: V*(verbs), NNM(month), CD(number/date
+    * piece), CA(circa marker), NNP(proper), IN(stopword), .(punct), NN.
+    */
+  def tag(word: String): Tok = {
+    val lw = word.toLowerCase
+    Lexicon.verbLexicon.get(lw) match {
+      case Some((pos, lemma)) => Tok(word, pos, lemma)
+      case None =>
+        if (Lexicon.monthIndex.contains(lw)) Tok(word, "NNM", lw)
+        else if (lw == "bc" || digits.matcher(lw).matches() ||
+                 decade.matcher(lw).matches() || iso.matcher(lw).matches() ||
+                 slash.matcher(lw).matches()) Tok(word, "CD", lw)
+        else if (lw == "c.") Tok(word, "CA", lw)
+        else if (lw == "." || lw == "," || lw == ";") Tok(word, ".", lw)
+        else if (Lexicon.stopwords.contains(lw)) Tok(word, "IN", lw)
+        else if (word.nonEmpty && word.charAt(0).isUpper) Tok(word, "NNP", lw)
+        else Tok(word, "NN", lw)
+    }
+  }
+
+  def tokenizeTag(text: String): Seq[Tok] = tokenize(text).toSeq.map(tag)
+
+  /** A candidate chunk: maximal token run of one chunk class. */
+  case class RawChunk(text: String, cls: String) // cls: 'entity' | 'date' | 'gazetteer'
+
+  /** Chunker: NNP runs -> entity chunks; CD/NNM(/leading CA) runs ->
+    * date chunks; single lowercase tokens present in the gazetteer ->
+    * gazetteer chunks. Deterministic, order-preserving.
+    */
+  def chunk(tokens: Seq[Tok], gazetteer: String => Boolean): Seq[RawChunk] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[RawChunk]
+    var i = 0
+    val n = tokens.length
+    while (i < n) {
+      val t = tokens(i)
+      if (t.pos == "NNP") {
+        var j = i
+        while (j < n && tokens(j).pos == "NNP") j += 1
+        out += RawChunk(tokens.slice(i, j).map(_.word).mkString(" "), "entity")
+        i = j
+      } else if (t.pos == "CD" || t.pos == "NNM" ||
+                 (t.pos == "CA" && i + 1 < n && tokens(i + 1).pos == "CD")) {
+        var j = i
+        while (j < n && (tokens(j).pos == "CD" || tokens(j).pos == "NNM" ||
+               (tokens(j).pos == "CA" && j + 1 < n && tokens(j + 1).pos == "CD"))) j += 1
+        out += RawChunk(tokens.slice(i, j).map(_.word).mkString(" "), "date")
+        i = j
+      } else {
+        if (t.pos == "NN" && gazetteer(t.lemma)) out += RawChunk(t.word, "gazetteer")
+        i += 1
+      }
+    }
+    out.toSeq
+  }
+}

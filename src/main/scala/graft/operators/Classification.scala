@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.fixtures.Lexicon
+import graft.functions.Text
+import graft.model._
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.Dataset
+
+/** Per-sentence frame classification: broadcast-model scoring inside a
+  * typed Dataset mapPartitions (BASELINE.json north_star). Reference:
+  * public Wikidata/StrepHit strephit/classification/classify.py
+  * (LinearSVC over token-window features + custom gazetteer rules) —
+  * here a deterministic linear rule model with gazetteer typing, the
+  * weights frozen in-repo (no network, no sklearn).
+  */
+object Classification {
+
+  /** The broadcastable model: LU->frame map, per-frame FE inventory,
+    * FE->expected-entity-type constraints, gazetteer (alias -> etype of
+    * its best link), and linear weights for the confidence score.
+    */
+  case class FrameModel(
+      luToFrame: Map[String, String],
+      frameFes: Map[String, Seq[(String, String)]], // frame -> (fe, fe_type) in lexicon order
+      feEtype: Map[(String, String), String],
+      gazEtype: Map[String, String],
+      wLu: Double,
+      wCoreFe: Double,
+      wFe: Double,
+      coreFes: Set[(String, String)]) extends Serializable {
+
+    /** Classify one LU-matched sentence. None if no subject resolves. */
+    def classify(s: LuSentence): Option[ClassifiedSentence] = {
+      val raw = Text.chunk(s.tokens, gazEtype.contains)
+      // type each chunk: date chunks keep class 'date'; entity/gazetteer
+      // chunks get the gazetteer's entity type (unknown -> dropped)
+      val typed: Seq[(String, String)] = raw.flatMap { c => // (etypeOr"date", text)
+        if (c.cls == "date") Some(("date", c.text))
+        else gazEtype.get(c.text.toLowerCase).map(t => (t, c.text))
+      }
+      val subjIdx = typed.indexWhere(_._1 == "person")
+      if (subjIdx < 0) return None
+      val subjChunk = typed(subjIdx)._2
+      val fes = frameFes.getOrElse(s.frame, Seq.empty)
+      val chunks: Seq[Chunk] = fes.flatMap { case (fe, feType) =>
+        if (feType == "time") {
+          typed.find(_._1 == "date")
+            .map { case (_, txt) => Chunk(fe, "time", "", txt, 1.0) }
+        } else {
+          val want = feEtype.getOrElse((s.frame, fe), "")
+          typed.zipWithIndex
+            .find { case ((et, _), i) => i != subjIdx && et == want }
+            .map { case ((et, txt), _) => Chunk(fe, feType, et, txt, 1.0) }
+        }
+      }
+      // linear confidence: LU match + filled FEs, normalized by the
+      // maximum attainable score for this frame
+      val got = wLu + chunks.map(c =>
+        if (coreFes((s.frame, c.fe))) wCoreFe else wFe).sum
+      val max = wLu + fes.map { case (fe, _) =>
+        if (coreFes((s.frame, fe))) wCoreFe else wFe }.sum
+      val conf = if (max <= 0) 0.0 else got / max
+      Some(ClassifiedSentence(s.doc_id, s.sentence_offset, s.frame, s.lu,
+        subjChunk, chunks, conf, s.spans_sig))
+    }
+  }
+
+  /** The frozen default model (FIXTURES.md F2/F3 resources). */
+  def defaultModel: FrameModel = {
+    val fes = Lexicon.lexicalDb.groupBy(_.frame).map { case (f, es) =>
+      f -> es.map(e => (e.fe, e.fe_type))
+    }
+    val core = Lexicon.lexicalDb.filter(_.core).map(e => (e.frame, e.fe)).toSet
+    FrameModel(
+      luToFrame = Lexicon.luToFrame,
+      frameFes = fes,
+      feEtype = Lexicon.feEtype,
+      gazEtype = Lexicon.bestLink.map { case (k, a) => k -> a.etype },
+      wLu = 2.0, wCoreFe = 1.0, wFe = 0.5,
+      coreFes = core)
+  }
+
+  /** Score every LU sentence with the broadcast model — one model
+    * deserialization per partition, streaming within the partition.
+    */
+  def classify(luSents: Dataset[LuSentence],
+               bc: Broadcast[FrameModel]): Dataset[ClassifiedSentence] = {
+    import luSents.sparkSession.implicits._
+    luSents.mapPartitions { it =>
+      val model = bc.value
+      it.flatMap(model.classify)
+    }
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.fixtures.Lexicon
+import graft.model._
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Entity linking: broadcast alias-dictionary join + salted hash-join
+  * path for skewed head entities (BASELINE.json north_star; reference:
+  * public Wikidata/StrepHit strephit/commons/entity_linking.py — a
+  * remote Dandelion REST call there, a local broadcast join here).
+  */
+object Linking {
+
+  def aliasDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Lexicon.aliasDict.toDF()
+  }
+
+  /** Flatten classified sentences into one row per linkable mention:
+    * the subject pseudo-FE plus every item-typed FE chunk.
+    */
+  def mentions(cls: Dataset[ClassifiedSentence]): DataFrame = {
+    val spark = cls.sparkSession
+    import spark.implicits._
+    val base = cls.toDF()
+    val subj = base.select($"doc_id", $"sentence_offset", $"frame", $"lu",
+      $"confidence", $"spans_sig",
+      lit("__subj").as("fe"), lit("item").as("fe_type"),
+      lit("person").as("etype"), $"subj_chunk".as("chunk_text"))
+    val items = base
+      .select($"doc_id", $"sentence_offset", $"frame", $"lu", $"confidence",
+        $"spans_sig", explode($"chunks").as("c"))
+      .filter($"c.fe_type" === "item")
+      .select($"doc_id", $"sentence_offset", $"frame", $"lu", $"confidence",
+        $"spans_sig", $"c.fe".as("fe"), $"c.fe_type".as("fe_type"),
+        $"c.etype".as("etype"), $"c.text".as("chunk_text"))
+    subj.unionByName(items)
+  }
+
+  /** Broadcast link + best-link window (max prior, tie -> min qid —
+    * the pinned determinism rule, SURVEY.md §2.5 `best_link`).
+    */
+  def link(cls: Dataset[ClassifiedSentence]): DataFrame = {
+    val spark = cls.sparkSession
+    import spark.implicits._
+    val m = mentions(cls)
+    val a = aliasDf(spark)
+    val joined = m.join(broadcast(a),
+      lower(m("chunk_text")) === a("alias_norm") && m("etype") === a("etype"))
+      .drop(a("etype"))
+    val w = Window.partitionBy($"doc_id", $"sentence_offset", $"fe")
+      .orderBy($"prior".desc, $"qid")
+    joined.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .drop("rn", "alias_norm", "is_head")
+  }
+
+  /** Same linking but through the generic salted shuffle-join path —
+    * exercises Skew.saltedJoin on the pipeline's own skewed alias
+    * distribution; must produce identical rows to `link`.
+    */
+  def linkSalted(cls: Dataset[ClassifiedSentence], salt: Int = 8): DataFrame = {
+    val spark = cls.sparkSession
+    import spark.implicits._
+    val m = mentions(cls).withColumn("alias_key", lower($"chunk_text"))
+    val a = aliasDf(spark).withColumnRenamed("etype", "a_etype")
+    val joined = Skew.saltedJoin(m, a, Seq("alias_key"), Seq("alias_norm"), salt)
+      .filter($"etype" === $"a_etype")
+    val w = Window.partitionBy($"doc_id", $"sentence_offset", $"fe")
+      .orderBy($"prior".desc, $"qid")
+    joined.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .drop("rn", "alias_norm", "alias_key", "a_etype", "is_head")
+  }
+}
