@@ -1,10 +1,17 @@
 package graft
 
 import graft.operators._
+import graft.sources.Corpus
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Every SURVEY §2 operator key appears in `queries`; SQL-expressible
+  * ones have DuckDB oracles in `oracleSql` (column names match the
+  * Spark aliases exactly — the driver hash-compares by sorted column
+  * name). Pipeline/model ops are rows-only here and pinned by the
+  * golden-fixture ScalaTest suites instead.
+  */
 object SparkEntry {
 
   /** Flagship: full KG-construction pipeline on sf0.001 -> triples. */
@@ -14,7 +21,6 @@ object SparkEntry {
   private def docsN(s: SparkSession, dir: String): Long =
     s.read.parquet(s"$dir/documents.parquet").count()
 
-  /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- aggregations / ranking (SURVEY §2.3) ----
     "q_tf" -> ((s, dir) => Ranking.tf(Ranking.terms(s, dir))),
@@ -23,8 +29,81 @@ object SparkEntry {
     "q_popularity" -> ((s, dir) => Ranking.popularity(Ranking.terms(s, dir), docsN(s, dir))),
     "q_lu_rank" -> ((s, dir) => Ranking.luRank(Ranking.terms(s, dir), docsN(s, dir), 50)),
     "q_lu_distribution" -> ((s, dir) => Ranking.distribution(s, dir)),
-    // ---- pipeline (rows-only; golden-fixture specs are the oracle) ----
+    // ---- relational coverage: joins / windows / set ops / json (SURVEY §2.4-2.6) ----
+    "q_agg_lineitem" -> ((s, dir) => Relational.aggLineitem(s, dir)),
+    "q_join_broadcast" -> ((s, dir) => Relational.joinBroadcast(s, dir)),
+    "q_join_salted" -> ((s, dir) => Relational.joinSalted(s, dir)),
+    "q_anti_join" -> ((s, dir) => Relational.antiJoin(s, dir)),
+    "q_semi_join" -> ((s, dir) => Relational.semiJoin(s, dir)),
+    "q_window_rank" -> ((s, dir) => Relational.windowRank(s, dir)),
+    "q_window_frame" -> ((s, dir) => Relational.windowFrame(s, dir)),
+    "q_topk_docs" -> ((s, dir) => Relational.topkDocs(s, dir)),
+    "q_union_events" -> ((s, dir) => Relational.unionEvents(s, dir)),
+    "q_dedup_events" -> ((s, dir) => Relational.dedupEvents(s, dir)),
+    "q_json_props" -> ((s, dir) => Relational.jsonProps(s, dir)),
+    "q_setops_users" -> ((s, dir) => Relational.setOpsUsers(s, dir)),
+    // ---- text analysis (training-data ops) ----
+    "q_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(s, dir)),
+    "q_quality" -> ((s, dir) => TextAnalysis.quality(s, dir)),
+    "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
+    "q_langid" -> ((s, dir) => TextAnalysis.langIdTable(s, dir)),
+    // ---- dedup family ----
+    "q_dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
+    "q_minhash_buckets" -> ((s, dir) =>
+      Dedup.minhashBuckets(s.read.parquet(s"$dir/documents.parquet"))),
+    "q_simhash" -> ((s, dir) =>
+      Dedup.simhashTable(s.read.parquet(s"$dir/documents.parquet"))),
+    // ---- similarity search ----
+    "q_embed_dims" -> ((s, dir) =>
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), size(col("embedding")).as("dim"), col("label"))),
+    "q_ann_brute" -> ((s, dir) => Similarity.bruteForceTopK(s, dir, 5, 5)),
+    "q_ann_lsh" -> ((s, dir) => Similarity.lshTopK(s, dir, 5, 5)),
+    // ---- multimodal (stub decode; real plumbing) ----
+    "q_media_stats" -> ((s, dir) => Multimodal.mediaStats(Corpus.spansTable(s, dir))),
+    // ---- KG pipeline (golden-fixture-pinned; rows-only here) ----
+    "pipe_sentences" -> ((s, dir) => {
+      Extraction.sentences(Pipeline.docsFor(s, dir))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sentences"))
+    }),
+    "pipe_extract_n2n" -> ((s, dir) =>
+      Extraction.matchN2n(Extraction.sentences(Pipeline.docsFor(s, dir)))
+        .groupBy(col("lu"), col("frame")).agg(count(lit(1)).as("n"))),
+    "pipe_extract_121" -> ((s, dir) =>
+      Extraction.match121(Extraction.sentences(Pipeline.docsFor(s, dir)))
+        .groupBy(col("lu"), col("frame")).agg(count(lit(1)).as("n"))),
+    "pipe_classify" -> ((s, dir) => {
+      val docs = Pipeline.docsFor(s, dir)
+      val lus = Extraction.matchN2n(Extraction.sentences(docs))
+      val bc = s.sparkContext.broadcast(Classification.defaultModel)
+      Classification.classify(lus, bc)
+        .groupBy(col("frame"))
+        .agg(count(lit(1)).as("n"), round(avg(col("confidence")), 6).as("avg_conf"))
+    }),
+    "pipe_link" -> ((s, dir) => {
+      val docs = Pipeline.docsFor(s, dir)
+      val lus = Extraction.matchN2n(Extraction.sentences(docs))
+      val bc = s.sparkContext.broadcast(Classification.defaultModel)
+      Linking.link(Classification.classify(lus, bc))
+        .groupBy(col("fe"), col("etype"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("qid")).as("n_qids"))
+    }),
+    "pipe_link_salted" -> ((s, dir) => {
+      val docs = Pipeline.docsFor(s, dir)
+      val lus = Extraction.matchN2n(Extraction.sentences(docs))
+      val bc = s.sparkContext.broadcast(Classification.defaultModel)
+      Linking.linkSalted(Classification.classify(lus, bc))
+        .groupBy(col("fe"), col("etype"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("qid")).as("n_qids"))
+    }),
     "pipe_triples" -> ((s, dir) => Pipeline.triples(s, dir)),
+    "pipe_qs" -> ((s, dir) => Serialize.quickStatements(Pipeline.triples(s, dir))),
+    "pipe_span_invariant" -> ((s, dir) => {
+      val docs = Pipeline.docsFor(s, dir)
+      Serialize.spanInvariant(docs, Pipeline.textPath(docs))
+    }),
+    "pipe_checkpoint" -> ((s, dir) =>
+      Checkpoint.stageMetrics(Pipeline.triples(s, dir), "verify", "triples", 16, 0L)),
     "pipe_eval" -> ((s, dir) => Pipeline.evaluate(s, dir))
   )
 
@@ -74,6 +153,82 @@ object SparkEntry {
     "q_lu_distribution" ->
       """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
                 count(*) AS n_docs, sum(n_chars) AS sum_chars
-         FROM documents GROUP BY ROLLUP(lang, source)"""
+         FROM documents GROUP BY ROLLUP(lang, source)""",
+    "q_agg_lineitem" ->
+      """SELECT l_returnflag, l_linestatus,
+                sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+                count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q_join_broadcast" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+                sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
+    "q_join_salted" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+                sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)""",
+    "q_semi_join" ->
+      """SELECT s_nationkey, count(*) AS n_suppliers FROM supplier
+         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+         GROUP BY s_nationkey""",
+    "q_window_rank" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+           SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+           FROM events) WHERE rn = 1""",
+    "q_window_frame" ->
+      """SELECT user_id, event_id,
+                sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                  PARTITION BY user_id ORDER BY event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+         FROM events""",
+    "q_topk_docs" ->
+      "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10",
+    "q_union_events" ->
+      """SELECT event_type, count(*) AS n FROM (
+           SELECT * FROM events WHERE event_type = 'purchase'
+           UNION ALL SELECT * FROM events WHERE event_type = 'signup')
+         GROUP BY event_type""",
+    "q_dedup_events" ->
+      """SELECT event_type, count(*) AS n_users FROM (
+           SELECT DISTINCT user_id, event_type FROM events)
+         GROUP BY event_type""",
+    "q_json_props" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+                count(*) AS n, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+         FROM events GROUP BY 1""",
+    "q_setops_users" ->
+      """(SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+          INTERSECT SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
+         EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type = 'error' AND value > 199""",
+    "q_token_count" ->
+      """SELECT doc_id,
+                len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS n_tokens,
+                length(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_pieces
+         FROM documents""",
+    "q_quality" ->
+      """WITH q AS (SELECT doc_id, length(text) AS len_chars,
+                list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+         FROM documents)
+         SELECT doc_id, len_chars, len(toks) AS n_tokens,
+                round(CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) END, 6) AS avg_tok_len,
+                round(CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE len(list_filter(toks, x -> x IN ('the','a','of','and','in')))::DOUBLE / len(toks) END, 6) AS stopword_ratio
+         FROM q""",
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+         FROM documents""",
+    "q_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+                min(doc_id) AS keep_doc, count(*) AS n_dups
+         FROM documents GROUP BY 1""",
+    "q_embed_dims" ->
+      "SELECT vec_id, len(embedding) AS dim, label FROM embeddings"
   )
 }

@@ -1,0 +1,186 @@
+package graft.operators
+
+import graft.util.Det
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design: signatures are computed partition-locally (pure
+  * functions, typed map); candidate generation is an equi-join on
+  * (band, bucket) — a hash-partitioned shuffle whose fan-out is bounded
+  * by band width, never an O(n²) cross join. Verification (exact
+  * Jaccard / cosine) runs only on candidate pairs.
+  */
+object Dedup {
+
+  val NumHashes = 32
+  val Bands = 8
+  val Rows = NumHashes / Bands // 4
+
+  /** 3-token shingle hashes of a text. */
+  def shingles(text: String): Array[Long] = {
+    val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    if (toks.length < 3) Array(Det.hashStr(toks.mkString(" ")))
+    else toks.sliding(3).map(w => Det.hashStr(w.mkString(" "))).toArray
+  }
+
+  /** 32-permutation MinHash signature via seeded splitmix rehash. */
+  def minhash(text: String): Array[Long] = {
+    val sh = shingles(text)
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      var k = 0
+      while (k < NumHashes) {
+        val h = Det.mix64(sh(i) ^ (0x9e3779b97f4a7c15L * (k + 1)))
+        if (h < sig(k)) sig(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** Estimated Jaccard from two signatures. */
+  def sigJaccard(a: Array[Long], b: Array[Long]): Double =
+    a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
+
+  /** Exact Jaccard over shingle sets. */
+  def exactJaccard(a: String, b: String): Double = {
+    val sa = shingles(a).toSet
+    val sb = shingles(b).toSet
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else sa.intersect(sb).size.toDouble / sa.union(sb).size
+  }
+
+  /** 64-bit SimHash over token hashes. */
+  def simhash(text: String): Long = {
+    val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    val acc = new Array[Int](64)
+    toks.foreach { t =>
+      val h = Det.hashStr(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  // ---- DataFrame-level operators -----------------------------------------
+
+  /** Exact dedup: md5-fingerprint groups, keep lowest doc_id as the
+    * canonical representative (hash groupBy — one shuffle).
+    */
+  def exact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id",
+        md5(to_binary(regexp_replace(lower($"text"), "\\s+", " "), lit("utf-8")))
+          .as("fp"))
+      .groupBy($"fp")
+      .agg(min($"doc_id").as("keep_doc"), count(lit(1)).as("n_dups"))
+  }
+
+  /** MinHash band/bucket table: (doc_id, band, bucket) — the LSH
+    * pre-join state. Candidate pairs are an equi-join on (band,bucket).
+    */
+  def minhashBuckets(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select($"doc_id".cast("string").as("doc_id"), $"text")
+      .as[(String, String)]
+      .flatMap { case (id, text) =>
+        val sig = minhash(if (text == null) "" else text)
+        (0 until Bands).map { b =>
+          val slice = sig.slice(b * Rows, (b + 1) * Rows)
+          (id, b, Det.mix(slice.toIndexedSeq: _*))
+        }
+      }
+      .toDF("doc_id", "band", "bucket")
+  }
+
+  /** MinHash+LSH near-dup candidate pairs with estimated Jaccard ≥
+    * threshold. Pure Spark: bucket self-join (equi, shuffle-bounded),
+    * signature re-check in a typed join against the signatures table.
+    */
+  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigs = docs.select($"doc_id".cast("string").as("doc_id"), $"text")
+      .as[(String, String)]
+      .map { case (id, t) => (id, minhash(if (t == null) "" else t).toSeq) }
+      .toDF("doc_id", "sig")
+    val buckets = minhashBuckets(docs)
+    val cand = buckets.as("l")
+      .join(buckets.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sigs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a"), "doc_a")
+      .join(sigs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b"), "doc_b")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"), (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / lit(NumHashes))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+  }
+
+  /** SimHash table + banded candidate pairs within Hamming distance k.
+    * Bands: 4 × 16-bit chunks — any pair within distance 3 shares at
+    * least one chunk exactly (pigeonhole).
+    */
+  def simhashTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select($"doc_id".cast("string").as("doc_id"), $"text")
+      .as[(String, String)]
+      .map { case (id, t) => (id, simhash(if (t == null) "" else t)) }
+      .toDF("doc_id", "simhash")
+  }
+
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val t = simhashTable(docs)
+    val banded = t.select($"doc_id", $"simhash",
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("chunk"),
+          shiftright($"simhash", i * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*))
+        .as("b"))
+      .select($"doc_id", $"simhash", $"b.chunk", $"b.key")
+    banded.as("l").join(banded.as("r"),
+      col("l.chunk") === col("r.chunk") && col("l.key") === col("r.key") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard on MinHash candidates (verify stage). */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val texts = docs.select($"doc_id".cast("string").as("doc_id"), $"text")
+    val cand = minhashPairs(docs, threshold * 0.5)
+      .select("doc_a", "doc_b")
+    cand
+      .join(texts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("text", "text_a"), "doc_a")
+      .join(texts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("text", "text_b"), "doc_b")
+      .select($"doc_a", $"doc_b", $"text_a", $"text_b")
+      .as[(String, String, String, String)]
+      .map { case (a, b, ta, tb) => (a, b, exactJaccard(ta, tb)) }
+      .toDF("doc_a", "doc_b", "jaccard")
+      .filter(col("jaccard") >= threshold)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+  }
+}

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** General relational operator coverage over the driver's TPC-H-ish
+  * testdata (SURVEY.md §2.4-2.6): broadcast/shuffle/salted joins,
+  * semi/anti joins, window ranking + explicit frames, set ops,
+  * grouping sets, JSON extraction. Every query here has a DuckDB
+  * oracle in SparkEntry.oracleSql. Money sums use integer cents
+  * (exact — no float-summation divergence across engines).
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** TPC-H Q1-style aggregate: partial+final hash agg, exact sums. */
+  def aggLineitem(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity".cast("long")).as("sum_qty"),
+        sum(round($"l_extendedprice" * 100).cast("long")).as("sum_price_cents"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Broadcast dim join + agg: order counts/value per market segment. */
+  def joinBroadcast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round($"o_totalprice" * 100).cast("long")).as("sum_cents"))
+  }
+
+  /** The same join through the salted shuffle-join path — must equal
+    * joinBroadcast exactly (the oracle is the plain SQL join).
+    */
+  def joinSalted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val probe = t(s, dir, "orders").select($"o_custkey", $"o_totalprice")
+    val dim = t(s, dir, "customer").select($"c_custkey", $"c_mktsegment")
+    Skew.saltedJoin(probe, dim, Seq("o_custkey"), Seq("c_custkey"), salt = 8)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round($"o_totalprice" * 100).cast("long")).as("sum_cents"))
+  }
+
+  /** Anti join: customers with no high-value (>300k) order. */
+  def antiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter($"o_totalprice" > 300000),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+  }
+
+  /** Semi join: suppliers having at least one lineitem, count by nation. */
+  def semiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "supplier")
+      .join(t(s, dir, "lineitem"), $"s_suppkey" === $"l_suppkey", "left_semi")
+      .groupBy($"s_nationkey").agg(count(lit(1)).as("n_suppliers"))
+  }
+
+  /** Window ranking: top event per user (row_number = 1), fully
+    * deterministic ordering (value desc, event_id asc).
+    */
+  def windowRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"value".desc, $"event_id")
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"user_id", $"event_id", $"event_type", $"value")
+  }
+
+  /** Explicit rowsBetween frame: running event-value total per user in
+    * event_id order, in exact integer cents.
+    */
+  def windowFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("cents", round($"value" * 100).cast("long"))
+      .withColumn("running_cents", sum($"cents").over(w))
+      .select($"user_id", $"event_id", $"running_cents")
+  }
+
+  /** Global top-k with deterministic tie-break (TakeOrderedAndProject). */
+  def topkDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .orderBy($"n_chars".desc, $"doc_id")
+      .select($"doc_id", $"n_chars")
+      .limit(10)
+  }
+
+  /** Set ops: purchases ∪ signups (unionByName) counted per type. */
+  def unionEvents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "events")
+    e.filter($"event_type" === "purchase")
+      .unionByName(e.filter($"event_type" === "signup"))
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+  }
+
+  /** Distinct-aggregate dedup: distinct (user, type) pairs per type. */
+  def dedupEvents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select($"user_id", $"event_type").dropDuplicates("user_id", "event_type")
+      .groupBy($"event_type").agg(count(lit(1)).as("n_users"))
+  }
+
+  /** JSON extraction from the semi-structured props column. */
+  def jsonProps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .groupBy(pmod($"k", lit(10)).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"))
+  }
+
+  /** Intersect/except coverage: users who purchased AND signed up,
+    * minus users with a high-value (>199) error event.
+    */
+  def setOpsUsers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "events")
+    def users(cond: org.apache.spark.sql.Column) =
+      e.filter(cond).select($"user_id").distinct()
+    users($"event_type" === "purchase")
+      .intersect(users($"event_type" === "signup"))
+      .except(users($"event_type" === "error" && $"value" > 199))
+  }
+}

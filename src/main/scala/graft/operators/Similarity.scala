@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.util.Det
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (Array[Float]):
+  * brute-force cosine top-k as the exact baseline, and a
+  * random-hyperplane-LSH bucketed variant as the scale path (probe
+  * only same-bucket candidates — candidate count drops ~2^bits-fold).
+  * Dot products are pure Catalyst higher-order functions
+  * (zip_with + aggregate) — codegen'd, no UDF.
+  */
+object Similarity {
+
+  /** Cosine similarity of two array<float/double> columns. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v * v))
+    when(na === 0.0 || nb === 0.0, 0.0).otherwise(dot / (na * nb))
+  }
+
+  private def loadEmb(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("vec"))
+  }
+
+  /** Exact brute-force cosine top-k: the (small) query set is broadcast
+    * against the corpus; per-query top-k via window rank. Exact
+    * baseline for ANN recall measurement.
+    */
+  def bruteForceTopK(spark: SparkSession, sfDir: String,
+                     nQueries: Int, k: Int): DataFrame = {
+    import spark.implicits._
+    val corpus = loadEmb(spark, sfDir)
+    val queries = corpus.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"vec".as("qvec"))
+    val scored = corpus.join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .withColumn("cos", cosine($"vec", $"qvec"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank",
+        round($"cos", 6).as("cos"))
+  }
+
+  /** Random-hyperplane LSH bucket id: sign bits of `bits` deterministic
+    * pseudo-random hyperplanes (hyperplane component for dim j of bit b
+    * = ±1 from splitmix64(b, j) — broadcast-free, computed inline).
+    */
+  def lshBucket(vec: Column, dim: Int, bits: Int): Column = {
+    val bitCols = (0 until bits).map { b =>
+      val signs = (0 until dim).map { j =>
+        if ((Det.mix(b.toLong, j.toLong) & 1L) == 1L) 1.0 else -1.0
+      }
+      val proj = aggregate(
+        zip_with(vec, typedlit(signs), (x, s) => x * s),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bitCols.reduce((a, b) => a + b)
+  }
+
+  /** LSH-bucketed ANN top-k: candidates restricted to the query's
+    * bucket (equi-join on bucket — shuffle-bounded, no cross join).
+    * Recall vs the exact baseline is measured in SimilaritySpec.
+    */
+  def lshTopK(spark: SparkSession, sfDir: String,
+              nQueries: Int, k: Int, bits: Int = 8): DataFrame = {
+    import spark.implicits._
+    val emb = loadEmb(spark, sfDir)
+    val dim = emb.select(size($"vec")).first().getInt(0)
+    val bucketed = emb.withColumn("bucket", lshBucket($"vec", dim, bits))
+    val queries = bucketed.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"vec".as("qvec"), $"bucket")
+    val scored = bucketed.join(queries, Seq("bucket"))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("cos", cosine($"vec", $"qvec"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank",
+        round($"cos", 6).as("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (bucketed; cos ≥ threshold). */
+  def cosineDupPairs(spark: SparkSession, sfDir: String,
+                     threshold: Double, bits: Int = 6): DataFrame = {
+    import spark.implicits._
+    val emb = loadEmb(spark, sfDir)
+    val dim = emb.select(size($"vec")).first().getInt(0)
+    val b = emb.withColumn("bucket", lshBucket($"vec", dim, bits))
+    b.as("l").join(b.as("r"),
+      col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
+      .withColumn("cos", cosine(col("l.vec"), col("r.vec")))
+      .filter(col("cos") >= threshold)
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
+        round(col("cos"), 6).as("cos"))
+  }
+}

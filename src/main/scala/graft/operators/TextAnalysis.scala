@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, fingerprinting.
+  * All pure Catalyst (codegen'd) — no UDFs in the hot path.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword sets for the n-gram/stopword-hit
+    * language-ID heuristic.
+    */
+  val langStops: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "was", "that", "it", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "ein", "nicht", "auch"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans", "pour", "que", "une", "des"),
+    "es" -> Seq("el", "los", "las", "es", "en", "por", "que", "una", "con", "para"),
+    "it" -> Seq("il", "gli", "che", "per", "con", "una", "sono", "della", "questo", "anche"))
+
+  private def toks(text: Column): Column =
+    filter(split(lower(text), "[^a-z]+"), t => t =!= "")
+
+  /** Stopword-hit score for one language over a token array. */
+  private def hits(tokens: Column, lang: String): Column =
+    size(filter(tokens, t => array_contains(typedlit(langStops(lang)), t)))
+
+  /** Heuristic language ID: argmax stopword hits; tie/zero -> 'und'.
+    * Deterministic tie-break: language order en,de,fr,es,it.
+    */
+  def langId(text: Column): Column = {
+    val tokens = toks(text)
+    val order = Seq("en", "de", "fr", "es", "it")
+    val scores = order.map(l => hits(tokens, l))
+    val best = greatest(scores: _*)
+    // left-priority argmax: first language (in `order`) reaching `best` wins
+    order.zip(scores).reverse.foldLeft(lit("und"): Column) {
+      case (acc, (l, s)) => when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Quality-score columns (length / punctuation / stopword ratios) —
+    * the classic pre-training quality filters.
+    */
+  def quality(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val tokens = toks($"text")
+    val nTok = size(tokens)
+    docs.select(
+      $"doc_id",
+      length($"text").as("len_chars"),
+      nTok.as("n_tokens"),
+      round(
+        when(nTok === 0, 0.0)
+          .otherwise(aggregate(tokens, lit(0L), (acc, t) => acc + length(t))
+            .cast("double") / nTok), 6).as("avg_tok_len"),
+      round(
+        when(nTok === 0, 0.0)
+          .otherwise(size(filter(tokens,
+            t => array_contains(typedlit(Seq("the", "a", "of", "and", "in")), t)))
+            .cast("double") / nTok), 6).as("stopword_ratio"))
+  }
+
+  /** Token counts: whitespace tokens + a BPE-ish regex piece count. */
+  def tokenCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id",
+        size(toks($"text")).as("n_tokens"),
+        regexp_count($"text", lit("[a-z]+|[0-9]+")).as("n_pieces"))
+  }
+
+  /** Content fingerprint: md5 of the normalized text (exact-dup key). */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id",
+        md5(to_binary(regexp_replace(lower($"text"), "\\s+", " "), lit("utf-8")))
+          .as("fp"))
+  }
+
+  /** Language-ID over the documents table (rows-only check; the
+    * multilingual behavior is pinned by LangIdSpec).
+    */
+  def langIdTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"lang".as("lang_meta"), langId($"text").as("lang_pred"))
+  }
+}

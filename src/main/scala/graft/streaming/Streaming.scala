@@ -1,0 +1,92 @@
+package graft.streaming
+
+import graft.model._
+import graft.operators.{Classification, Extraction, Linking, Serialize}
+import graft.sources.Corpus
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured-Streaming surface (SURVEY.md §2.8): the classify+link+
+  * serialize chain is stateless per document, so it lifts directly to
+  * `readStream` -> same transforms -> `writeStream`. Stateful pieces
+  * (121-window dedupe, global statement dedup) stay in the batch path;
+  * the streaming path runs the n2n strategy and per-microbatch dedup
+  * via foreachBatch.
+  */
+object Streaming {
+
+  /** Run the pipeline as a streaming job over the documents parquet dir
+    * with Trigger.AvailableNow, appending deduped triples per
+    * microbatch to `outDir`. Returns the total triple count written.
+    */
+  /** FileStreamSource only accepts directories; stage a single parquet
+    * file into a temp dir (hard link / copy) so it can stream.
+    */
+  private def stageDir(file: String): String = {
+    import java.nio.file._
+    val src = Paths.get(file)
+    if (Files.isDirectory(src)) file
+    else {
+      val dir = Files.createTempDirectory("stream-src")
+      Files.copy(src, dir.resolve(src.getFileName))
+      dir.toString
+    }
+  }
+
+  def runAvailableNow(spark: SparkSession, docsPath: String,
+                      checkpointDir: String, outDir: String): Long = {
+    import spark.implicits._
+    val docsDir = stageDir(docsPath)
+    val schema = spark.read.parquet(docsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(docsDir)
+      .select($"doc_id".cast("string").as("doc_id"), $"text")
+      .as[(String, String)]
+      .map { case (id, text) => graft.fixtures.BioGen.generate(s"doc$id", text)._1 }
+
+    val q = stream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Doc], _: Long) =>
+        val sents = Extraction.sentences(batch)
+        val lus = Extraction.matchN2n(sents)
+        val bc = batch.sparkSession.sparkContext.broadcast(Classification.defaultModel)
+        val cls = Classification.classify(lus, bc)
+        val linked = Linking.link(cls)
+        val triples = Serialize.textTriples(cls, linked)
+        Serialize.unionDedup(triples, triples.limit(0))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir).count()
+  }
+
+  /** Windowed event-stream aggregation with watermark over the testdata
+    * events table run as a stream (AvailableNow) — the canonical
+    * Structured Streaming agg shape (readStream -> watermark -> window
+    * -> writeStream to memory sink).
+    */
+  def eventWindowCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // FileStreamSource requires a directory: stage the table file into one
+    val path = stageDir(s"$sfDir/events.parquet")
+    val schema = spark.read.parquet(path).schema
+    val name = "stream_event_counts_" + System.nanoTime()
+    val q = spark.readStream.schema(schema).parquet(path)
+      .withColumn("ts", $"ts".cast("timestamp")) // NTZ -> event-time type
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "6 hours"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+      .select($"window.start".as("win_start"), $"event_type", $"n", $"sum_value")
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.{Checkpoint, Serialize}
+import graft.sources.{Corpus, TableIO}
+import org.apache.spark.sql.functions._
+
+/** Resumable runs: checkpoint rows per bucket; a rerun after partial
+  * completion recomputes only missing buckets and reproduces the
+  * identical final triple set (SURVEY.md §5 resume test).
+  */
+class CheckpointSpec extends SparkSuite {
+  import spark.implicits._
+
+  val Buckets = 8
+
+  test("resume recomputes only missing buckets; final triples identical") {
+    val dir = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val ckptTable = s"$dir/checkpoint"
+    val docs = Corpus.fixtureCorpus(spark, 80)
+
+    // full run (reference output)
+    val full = Pipeline.textPath(docs)
+      .select($"doc_id", $"subj", $"pred", coalesce($"obj_qid", $"obj_text").as("o"))
+      .collect().map(_.toString).sorted.toSeq
+
+    // run 1: checkpointed
+    val out1 = Checkpoint.runStage(docs, ckptTable, "run1", "triples", Buckets)(
+      d => Pipeline.textPath(d))
+    out1.count()
+    val ck1 = Checkpoint.readTable(spark, ckptTable)
+    val nBuckets1 = ck1.select("partition_id").distinct().count()
+    assert(nBuckets1 === Buckets)
+
+    // simulate partial failure: drop half the checkpoint rows
+    val kept = ck1.filter($"partition_id" < Buckets / 2)
+    val ckptTable2 = s"$dir/checkpoint2"
+    kept.write.parquet(ckptTable2)
+
+    // resumed run: pending = only buckets >= Buckets/2
+    val pending = Checkpoint.pendingDocs(docs,
+      Checkpoint.readTable(spark, ckptTable2), "run1", "triples", Buckets)
+    val pendingBuckets = pending.toDF()
+      .select(Checkpoint.bucketOf(Buckets).as("b")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(pendingBuckets.forall(_ >= Buckets / 2))
+    assert(pending.count() < docs.count() && pending.count() > 0)
+
+    // recompute pending only, union with the previously-done buckets
+    val redone = Pipeline.textPath(pending)
+    val doneBefore = Pipeline.textPath(
+      docs.withColumn("bucket", Checkpoint.bucketOf(Buckets))
+        .filter($"bucket" < Buckets / 2).drop("bucket").as[graft.model.Doc])
+    val resumed = doneBefore.unionByName(redone)
+      .select($"doc_id", $"subj", $"pred", coalesce($"obj_qid", $"obj_text").as("o"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(resumed === full)
+  }
+
+  test("stage metrics rows carry lineage columns") {
+    val docs = Corpus.fixtureCorpus(spark, 40)
+    val m = Checkpoint.stageMetrics(Pipeline.textPath(docs), "r1", "triples", 4, 12L)
+      .collect()
+    assert(m.length === 4)
+    m.foreach { r =>
+      assert(r.getAs[Long]("doc_count") > 0)
+      assert(r.getAs[String]("min_doc") <= r.getAs[String]("max_doc"))
+      assert(r.getAs[String]("status") === "ok")
+    }
+  }
+
+  test("TableIO manifest commit + read-back") {
+    val dir = java.nio.file.Files.createTempDirectory("tio").toString
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    val m = TableIO.write(df, s"$dir/t1", partitionBy = Seq("v"), snapshotId = "snap-1")
+    assert(m.rowCount === 2)
+    assert(TableIO.read(spark, s"$dir/t1").count() === 2)
+    assert(TableIO.manifest(s"$dir/t1").get.contains("snap-1"))
+    intercept[IllegalArgumentException] {
+      TableIO.read(spark, s"$dir/never-written")
+    }
+  }
+}

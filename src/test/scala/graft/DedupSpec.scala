@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Dedup operators on planted near-duplicates. */
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  // 20 base docs + 3 planted near-dups (small edits) + 1 exact dup
+  private lazy val docs = {
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val base = (0 until 20).map { i =>
+      val toks = (0 until 40).map(j =>
+        words(graft.util.Det.bounded(graft.util.Det.mix(i.toLong, j.toLong), words.length)))
+      (i.toLong, toks.mkString(" "))
+    }
+    val nd1 = (100L, base(0)._2.replace("alpha", "omega"))   // ~1 token diff class
+    val nd2 = (101L, base(1)._2 + " extra")                  // suffix insert
+    val nd3 = (102L, base(2)._2)                             // exact dup of 2
+    (base :+ nd1 :+ nd2 :+ nd3).toDF("doc_id", "text")
+  }
+
+  test("minhash signature: identical text -> identical sig; jaccard sane") {
+    val s1 = Dedup.minhash("a b c d e f g h")
+    val s2 = Dedup.minhash("a b c d e f g h")
+    assert(s1.toSeq === s2.toSeq)
+    assert(Dedup.sigJaccard(s1, s2) === 1.0)
+    val s3 = Dedup.minhash("totally different words entirely here now")
+    assert(Dedup.sigJaccard(s1, s3) < 0.3)
+  }
+
+  test("exact jaccard ground truth") {
+    assert(Dedup.exactJaccard("a b c d e", "a b c d e") === 1.0)
+    assert(Dedup.exactJaccard("a b c d e", "x y z w v") === 0.0)
+  }
+
+  test("minhash+LSH finds the planted near-dup pairs") {
+    // doc ids are strings -> pairs are lexicographically ordered
+    val pairs = Dedup.minhashPairs(docs, 0.5)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => Set(r.getString(0), r.getString(1))).toSet
+    assert(pairs.contains(Set("1", "101")), s"pairs=$pairs")
+    assert(pairs.contains(Set("2", "102")), s"pairs=$pairs")
+    // base docs are hash-random; no high-jaccard pair among them
+    assert(!pairs.exists(p => p.forall(_.toLong < 20)))
+  }
+
+  test("simhash: exact dup has distance 0 and is found by banding") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+      .select($"doc_a", $"doc_b", $"hamming".cast("long")).collect()
+      .map(r => (Set(r.getString(0), r.getString(1)), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == Set("2", "102") && p._2 == 0L))
+  }
+
+  test("ngram jaccard verify stage confirms exact dup at 1.0") {
+    val j = Dedup.ngramJaccardPairs(docs, 0.9)
+      .filter(($"doc_a" === "2" && $"doc_b" === "102") ||
+              ($"doc_a" === "102" && $"doc_b" === "2"))
+      .select("jaccard").collect()
+    assert(j.length === 1 && j(0).getDouble(0) === 1.0)
+  }
+
+  test("exact dedup groups identical normalized text") {
+    val withDup = docs.withColumn("n_chars", length($"text"))
+    val tmp = java.nio.file.Files.createTempDirectory("dedup").toString
+    withDup.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val g = Dedup.exact(spark, tmp)
+    assert(g.filter($"n_dups" === 2).count() === 1) // docs 2 & 102
+    assert(g.agg(sum($"n_dups")).collect()(0).getLong(0) === 23)
+  }
+}

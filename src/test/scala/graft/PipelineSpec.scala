@@ -1,0 +1,107 @@
+package graft
+
+import graft.model._
+import graft.operators._
+import graft.sources.Corpus
+import org.apache.spark.sql.functions._
+
+/** Golden end-to-end: fixture corpus -> triples vs gold (P/R gate),
+  * determinism, classification + linking behavior, QS format.
+  */
+class PipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  val N = 150
+
+  test("golden e2e: P and R == 1.0 on fixture corpus") {
+    val pipe = Pipeline.fixtureTriples(spark, N)
+    val gold = Corpus.fixtureGold(spark, N).toDF()
+    val r = Serialize.evaluate(pipe, gold).collect()(0)
+    assert(r.getAs[Double]("precision") === 1.0,
+      s"precision: ${r}")
+    assert(r.getAs[Double]("recall") === 1.0, s"recall: ${r}")
+  }
+
+  test("pipeline determinism: two runs produce identical triple sets") {
+    def run() = Pipeline.fixtureTriples(spark, 60)
+      .select($"doc_id", $"subj", $"value_key").collect()
+      .map(_.toString).sorted.toSeq
+    assert(run() === run())
+  }
+
+  test("classification: born sentence gets Being_born with time+place FEs") {
+    val doc = Doc("c1", Seq(
+      Span("text", "Alice Abram was born in Paris on 27 January 1832 .", null, 0)))
+    val bc = spark.sparkContext.broadcast(Classification.defaultModel)
+    val cls = Classification.classify(
+      Extraction.matchN2n(Extraction.sentences(Seq(doc).toDS())), bc).collect()
+    assert(cls.length === 1)
+    val c = cls(0)
+    assert(c.frame === "Being_born")
+    assert(c.subj_chunk === "Alice Abram")
+    assert(c.chunks.map(ch => (ch.fe, ch.text)).toSet ===
+      Set(("time", "27 January 1832"), ("place", "Paris")))
+    assert(c.confidence === 1.0) // all FEs filled
+  }
+
+  test("classification: missing FE lowers confidence, sentence survives") {
+    val doc = Doc("c2", Seq(
+      Span("text", "Alice Abram was born in 1832 .", null, 0)))
+    val bc = spark.sparkContext.broadcast(Classification.defaultModel)
+    val cls = Classification.classify(
+      Extraction.matchN2n(Extraction.sentences(Seq(doc).toDS())), bc).collect()
+    assert(cls.length === 1)
+    assert(cls(0).chunks.map(_.fe) === Seq("time"))
+    assert(cls(0).confidence < 1.0 && cls(0).confidence > 0.5)
+  }
+
+  test("linking: best-link rule = max prior then min qid; ambiguous alias") {
+    // name index i where i % 7 == 3 has two person QIDs (0.9 vs 0.4)
+    val name = graft.fixtures.Lexicon.nameAt(3)
+    val doc = Doc("l1", Seq(
+      Span("text", s"$name worked as a writer .", null, 0)))
+    val bc = spark.sparkContext.broadcast(Classification.defaultModel)
+    val cls = Classification.classify(
+      Extraction.matchN2n(Extraction.sentences(Seq(doc).toDS())), bc)
+    val linked = Linking.link(cls)
+    val subj = linked.filter($"fe" === "__subj").select("qid").collect()
+    assert(subj.map(_.getString(0)).toSeq === Seq("Q100003"))
+  }
+
+  test("salted link equals broadcast link") {
+    val docs = Corpus.fixtureCorpus(spark, 60)
+    val bc = spark.sparkContext.broadcast(Classification.defaultModel)
+    val cls = Classification.classify(
+      Extraction.matchN2n(Extraction.sentences(docs)), bc).cache()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"sentence_offset", $"fe", $"qid")
+        .collect().map(_.toString).sorted.toSeq
+    assert(canon(Linking.link(cls)) === canon(Linking.linkSalted(cls)))
+    cls.unpersist()
+  }
+
+  test("QuickStatements rendering format") {
+    val doc = Doc("q1", Seq(
+      Span("text", "Alice Abram was born in Paris on 27 January 1832 .", null, 0)))
+    val text = Pipeline.textPath(Seq(doc).toDS())
+    val qs = Serialize.quickStatements(text).collect().map(_.getString(0)).sorted
+    val subjQ = graft.fixtures.Lexicon.bestLink("alice abram").qid
+    val parisQ = graft.fixtures.Lexicon.bestLink("paris").qid
+    assert(qs.contains(s"$subjQ\tP569\t+1832-01-27T00:00:00Z/11\tS854\t\"https://example.org/doc/q1\""))
+    assert(qs.contains(s"$subjQ\tP19\t$parisQ\tS854\t\"https://example.org/doc/q1\""))
+  }
+
+  test("dedup idempotence: unionDedup twice == once") {
+    val t = Pipeline.fixtureTriples(spark, 40)
+    val again = Serialize.unionDedup(t.drop("value_key"), t.drop("value_key").limit(0))
+    assert(again.count() === t.count())
+  }
+
+  test("semi-structured path contributes triples for ~20% of docs") {
+    val semi = Serialize.semiTriples(Corpus.fixtureSemi(spark, 200))
+    val nDocs = semi.select("doc_id").distinct().count()
+    assert(nDocs > 10 && nDocs < 90)
+    assert(semi.filter($"pred" === "P569").count() > 0)
+    assert(semi.filter($"pred" === "P106").count() > 0)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val tmp: String = {
+    // 60 deterministic 8-dim vectors in clusters + self-similar pairs
+    val rows = (0 until 60).map { i =>
+      val base = i % 6
+      val vec = (0 until 8).map { d =>
+        val c = if (d == base) 10.0f else 0.5f
+        c + (graft.util.Det.bounded(graft.util.Det.mix(i.toLong, d.toLong), 100) / 100.0f)
+      }
+      (i.toLong, vec, base)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("emb").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("cosine column matches hand computation") {
+    val r = Seq((Seq(1.0, 0.0), Seq(1.0, 0.0)), (Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      (Seq(3.0, 4.0), Seq(3.0, 4.0)))
+      .toDF("a", "b").select(Similarity.cosine($"a", $"b")).collect()
+      .map(_.getDouble(0))
+    assert(math.abs(r(0) - 1.0) < 1e-9)
+    assert(math.abs(r(1)) < 1e-9)
+    assert(math.abs(r(2) - 1.0) < 1e-9)
+  }
+
+  test("brute-force top-k: neighbors share the query's cluster") {
+    val top = Similarity.bruteForceTopK(spark, tmp, 5, 3)
+    val joinedBad = top.as("t")
+      .join(spark.read.parquet(s"$tmp/embeddings.parquet").as("e"),
+        col("t.neighbor_id") === col("e.vec_id"))
+      .filter(col("t.query_id") % 6 =!= col("e.label"))
+      .count()
+    assert(joinedBad === 0)
+    assert(top.count() === 15) // 5 queries x k=3
+  }
+
+  test("LSH top-k achieves high recall vs brute force") {
+    val exact = Similarity.bruteForceTopK(spark, tmp, 5, 3)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(spark, tmp, 5, 3, bits = 4)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall exact=$exact approx=$approx")
+  }
+
+  test("cosine near-dup pairs are same-cluster only") {
+    val pairs = Similarity.cosineDupPairs(spark, tmp, 0.98, bits = 4)
+    val emb = spark.read.parquet(s"$tmp/embeddings.parquet")
+      .select($"vec_id", $"label")
+    val bad = pairs
+      .join(emb.withColumnRenamed("vec_id", "vec_a").withColumnRenamed("label", "la"), "vec_a")
+      .join(emb.withColumnRenamed("vec_id", "vec_b").withColumnRenamed("label", "lb"), "vec_b")
+      .filter($"la" =!= $"lb").count()
+    assert(bad === 0)
+    assert(pairs.count() > 0)
+  }
+}
