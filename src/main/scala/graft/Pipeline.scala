@@ -27,7 +27,9 @@ object Pipeline {
     Corpus.spansTable(spark, sfDir)
       .repartition(ingestPartitions(spark), col("doc_id"))
 
-  /** Full text-path: docs -> deduped triples DataFrame. */
+  /** Full text-path: docs -> triples DataFrame (single-pass fused
+    * link+serialize — see Serialize.textTriples scale rationale).
+    */
   def textPath(docs: Dataset[Doc], strategy: String = "n2n"): DataFrame = {
     val spark = docs.sparkSession
     val sents = Extraction.sentences(docs)
@@ -35,8 +37,7 @@ object Pipeline {
               else Extraction.matchN2n(sents)
     val bc = spark.sparkContext.broadcast(Classification.defaultModel)
     val cls = Classification.classify(lus, bc)
-    val linked = Linking.link(cls)
-    Serialize.textTriples(cls, linked)
+    Serialize.textTriples(cls)
   }
 
   /** Complete pipeline incl. semi-structured union + dedup. */

@@ -18,25 +18,28 @@ object Linking {
     Lexicon.aliasDict.toDF()
   }
 
-  /** Flatten classified sentences into one row per linkable mention:
-    * the subject pseudo-FE plus every item-typed FE chunk.
+  /** Flatten classified sentences into one row per mention: the subject
+    * pseudo-FE plus every FE chunk (item AND time — time rows pass
+    * through linking unlinked; they canonicalize via the date
+    * normalizer downstream). Single pass over the classified stream.
     */
   def mentions(cls: Dataset[ClassifiedSentence]): DataFrame = {
     val spark = cls.sparkSession
     import spark.implicits._
-    val base = cls.toDF()
-    val subj = base.select($"doc_id", $"sentence_offset", $"frame", $"lu",
-      $"confidence", $"spans_sig",
+    // prepend the subject pseudo-chunk to the chunks array instead of
+    // unioning two selects — a union would duplicate the whole
+    // upstream classify subtree in the physical plan (2x scans, 2x
+    // mapPartitions); one explode keeps a single pass
+    val subjChunk = struct(
       lit("__subj").as("fe"), lit("item").as("fe_type"),
-      lit("person").as("etype"), $"subj_chunk".as("chunk_text"))
-    val items = base
+      lit("person").as("etype"), $"subj_chunk".as("text"), lit(1.0).as("score"))
+    cls.toDF()
       .select($"doc_id", $"sentence_offset", $"frame", $"lu", $"confidence",
-        $"spans_sig", explode($"chunks").as("c"))
-      .filter($"c.fe_type" === "item")
+        $"spans_sig",
+        explode(concat(array(subjChunk), $"chunks")).as("c"))
       .select($"doc_id", $"sentence_offset", $"frame", $"lu", $"confidence",
         $"spans_sig", $"c.fe".as("fe"), $"c.fe_type".as("fe_type"),
         $"c.etype".as("etype"), $"c.text".as("chunk_text"))
-    subj.unionByName(items)
   }
 
   /** Broadcast link + best-link window (max prior, tie -> min qid —

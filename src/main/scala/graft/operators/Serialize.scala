@@ -35,43 +35,76 @@ object Serialize {
       when(df("obj_kind") === "item" || df("obj_kind") === "time", lit(""))
         .otherwise(coalesce(df("obj_text"), lit(""))))
 
-  /** Text-path triples from classified+linked sentences. */
-  def textTriples(cls: Dataset[ClassifiedSentence], linked: DataFrame): DataFrame = {
+  /** Text-path triples from classified sentences — SINGLE PASS.
+    *
+    * Scale rationale (BASELINE.md plan-inspection rule): the naive
+    * shape joins a subjects subtree against an items subtree, which
+    * recomputes the whole extract+classify+link pipeline per branch
+    * (2-4 parquet scans, 2-4 classification passes). Instead:
+    *   1. mentions (subject pseudo-FE + item FEs + time FEs) flow once
+    *      through one LEFT broadcast alias join,
+    *   2. best-link = min(struct(-prior, qid, payload)) hash
+    *      aggregation (partial+final, one shuffle, pinned tie-break),
+    *   3. the subject attaches via a window over (doc_id,
+    *      sentence_offset) — no self-join, no recompute,
+    *   4. dates canonicalize inline; the lexical property map is a
+    *      broadcast join.
+    * One scan, one classification pass, two narrow shuffles.
+    */
+  def textTriples(cls: Dataset[ClassifiedSentence]): DataFrame = {
     val spark = cls.sparkSession
     import spark.implicits._
-    val subjects = linked.filter($"fe" === "__subj")
-      .select($"doc_id", $"sentence_offset", $"qid".as("subj"))
+    val m = Linking.mentions(cls)
+    val a = Linking.aliasDf(spark).withColumnRenamed("etype", "a_etype")
+
+    val joined = m.join(broadcast(a),
+      lower(m("chunk_text")) === a("alias_norm") && m("etype") === $"a_etype",
+      "left")
+
+    // best link per (doc, sentence, fe): max prior, tie -> min qid;
+    // unlinked rows (time FEs) sort to the back with sentinel 2.0
+    val best = joined
+      .groupBy($"doc_id", $"sentence_offset", $"fe")
+      .agg(min(struct(
+        coalesce(-$"prior", lit(2.0)).as("np"),
+        coalesce($"qid", lit("~")).as("qid_ord"),
+        $"qid", $"chunk_text", $"fe_type", $"frame", $"lu",
+        $"confidence", $"spans_sig")).as("b"))
+      .select($"doc_id", $"sentence_offset", $"fe",
+        $"b.qid".as("qid"), $"b.chunk_text".as("chunk_text"),
+        $"b.fe_type".as("fe_type"), $"b.frame".as("frame"), $"b.lu".as("lu"),
+        $"b.confidence".as("confidence"), $"b.spans_sig".as("spans_sig"))
+
+    // attach the sentence subject via a window — no self-join
+    val w = Window.partitionBy($"doc_id", $"sentence_offset")
+    val withSubj = best
+      .withColumn("subj", max(when($"fe" === "__subj", $"qid")).over(w))
+      .filter($"fe" =!= "__subj" && $"subj".isNotNull)
+
     val lex = broadcast(lexDf(spark)
       .select($"frame", $"fe", $"wikidata_property".as("pred")))
 
-    val items = linked.filter($"fe" =!= "__subj")
+    withSubj
       .join(lex, Seq("frame", "fe"))
+      .withColumn("obj_time",
+        when($"fe_type" === "time", Dates.normDate($"chunk_text"))
+          .otherwise(nullTime))
+      .filter(($"fe_type" === "time" && $"obj_time".isNotNull) ||
+        ($"fe_type" === "item" && $"qid".isNotNull))
       .select($"doc_id", $"sentence_offset", $"pred",
-        lit("item").as("obj_kind"), $"qid".as("obj_qid"),
-        nullTime.as("obj_time"), nullDec.as("obj_quantity"),
-        $"chunk_text".as("obj_text"), $"confidence", $"spans_sig")
-
-    val lexT = broadcast(lexDf(spark)
-      .select($"frame".as("l_frame"), $"fe".as("l_fe"),
-        $"wikidata_property".as("pred")))
-    val times = cls.toDF()
-      .select($"doc_id", $"sentence_offset", $"frame", $"confidence",
-        $"spans_sig", explode($"chunks").as("c"))
-      .filter($"c.fe_type" === "time")
-      .withColumn("obj_time", Dates.normDate($"c.text"))
-      .filter($"obj_time".isNotNull)
-      .join(lexT, $"frame" === $"l_frame" && $"c.fe" === $"l_fe")
-      .select($"doc_id", $"sentence_offset", $"pred",
-        lit("time").as("obj_kind"), lit(null).cast("string").as("obj_qid"),
+        when($"fe_type" === "time", "time").otherwise("item").as("obj_kind"),
+        when($"fe_type" === "item", $"qid").otherwise(lit(null).cast("string")).as("obj_qid"),
         $"obj_time", nullDec.as("obj_quantity"),
-        $"c.text".as("obj_text"), $"confidence", $"spans_sig")
-
-    items.unionByName(times)
-      .join(subjects, Seq("doc_id", "sentence_offset"))
+        $"chunk_text".as("obj_text"), $"confidence", $"spans_sig", $"subj")
       .withColumn("source_url", concat(lit("https://example.org/doc/"), $"doc_id"))
   }
 
-  /** Semi-structured path (FIXTURES.md F7): `other` map -> triples. */
+  /** Semi-structured path (FIXTURES.md F7): `other` map -> triples.
+    * Single pass: subject links via a broadcast join + struct-min
+    * best-link agg; the (born, occupation) candidate values explode
+    * from one array — no union of branches (which would duplicate the
+    * scan subtree in the physical plan).
+    */
   def semiTriples(semi: Dataset[SemiDoc]): DataFrame = {
     val spark = semi.sparkSession
     import spark.implicits._
@@ -83,35 +116,44 @@ object Serialize {
         element_at($"other", "born").as("born"),
         element_at($"other", "occupation").as("occ"))
 
-    def bestLinked(df: DataFrame, key: Column, etype: String, out: String): DataFrame = {
-      val j = df.join(broadcast(aliases.filter($"etype" === etype)),
-        lower(key) === $"alias_norm")
-      val w = Window.partitionBy(df.columns.map(df(_)).toSeq: _*)
-        .orderBy($"prior".desc, $"qid")
-      j.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-        .withColumnRenamed("qid", out)
-        .drop("rn", "alias_norm", "prior", "is_head", "etype")
-    }
+    // subject: broadcast person-alias join, best link via struct-min agg
+    val withSubj = base
+      .join(broadcast(aliases.filter($"etype" === "person")
+        .select($"alias_norm", $"qid", $"prior")),
+        lower($"name") === $"alias_norm")
+      .groupBy($"doc_id")
+      .agg(min(struct((-$"prior").as("np"), $"qid", $"born", $"occ")).as("b"))
+      .select($"doc_id", $"b.qid".as("subj"), $"b.born".as("born"), $"b.occ".as("occ"))
 
-    val withSubj = bestLinked(base, $"name", "person", "subj")
+    val cands = withSubj.select($"doc_id", $"subj",
+      explode(array(
+        struct(lit("P569").as("pred"), lit("time").as("obj_kind"), $"born".as("value")),
+        struct(lit("P106").as("pred"), lit("item").as("obj_kind"), $"occ".as("value"))))
+        .as("c"))
+      .select($"doc_id", $"subj", $"c.pred".as("pred"),
+        $"c.obj_kind".as("obj_kind"), $"c.value".as("value"))
+      .filter($"value".isNotNull)
 
-    val bornT = withSubj.filter($"born".isNotNull)
-      .withColumn("obj_time", Dates.normDate($"born"))
-      .filter($"obj_time".isNotNull)
-      .select($"doc_id", lit(-1).as("sentence_offset"), lit("P569").as("pred"),
-        lit("time").as("obj_kind"), lit(null).cast("string").as("obj_qid"),
-        $"obj_time", nullDec.as("obj_quantity"), $"born".as("obj_text"),
+    val linked = cands
+      .join(broadcast(aliases.filter($"etype" === "occupation")
+        .select($"alias_norm", $"qid", $"prior")),
+        $"obj_kind" === "item" && lower($"value") === $"alias_norm", "left")
+      .groupBy($"doc_id", $"subj", $"pred", $"obj_kind", $"value")
+      .agg(min(struct(coalesce(-$"prior", lit(2.0)).as("np"),
+        coalesce($"qid", lit("~")).as("qid_ord"), $"qid")).as("b"))
+      .select($"doc_id", $"subj", $"pred", $"obj_kind", $"value",
+        $"b.qid".as("obj_qid"))
+
+    linked
+      .withColumn("obj_time",
+        when($"obj_kind" === "time", Dates.normDate($"value")).otherwise(nullTime))
+      .filter(($"obj_kind" === "time" && $"obj_time".isNotNull) ||
+        ($"obj_kind" === "item" && $"obj_qid".isNotNull))
+      .select($"doc_id", lit(-1).as("sentence_offset"), $"pred", $"obj_kind",
+        when($"obj_kind" === "item", $"obj_qid").otherwise(lit(null).cast("string")).as("obj_qid"),
+        $"obj_time", nullDec.as("obj_quantity"), $"value".as("obj_text"),
         lit(1.0).as("confidence"), lit(null).cast("string").as("spans_sig"),
         $"subj")
-
-    val occT = bestLinked(withSubj.filter($"occ".isNotNull), $"occ", "occupation", "obj_qid")
-      .select($"doc_id", lit(-1).as("sentence_offset"), lit("P106").as("pred"),
-        lit("item").as("obj_kind"), $"obj_qid", nullTime.as("obj_time"),
-        nullDec.as("obj_quantity"), $"occ".as("obj_text"),
-        lit(1.0).as("confidence"), lit(null).cast("string").as("spans_sig"),
-        $"subj")
-
-    bornT.unionByName(occT)
       .withColumn("source_url", concat(lit("https://example.org/doc/"), $"doc_id"))
   }
 

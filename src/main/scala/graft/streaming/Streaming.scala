@@ -52,8 +52,7 @@ object Streaming {
         val lus = Extraction.matchN2n(sents)
         val bc = batch.sparkSession.sparkContext.broadcast(Classification.defaultModel)
         val cls = Classification.classify(lus, bc)
-        val linked = Linking.link(cls)
-        val triples = Serialize.textTriples(cls, linked)
+        val triples = Serialize.textTriples(cls)
         Serialize.unionDedup(triples, triples.limit(0))
           .write.mode("append").parquet(outDir)
         ()
