@@ -59,6 +59,13 @@ object SparkEntry {
         .select(col("vec_id"), size(col("embedding")).as("dim"), col("label"))),
     "q_ann_brute" -> ((s, dir) => Similarity.bruteForceTopK(s, dir, 5, 5)),
     "q_ann_lsh" -> ((s, dir) => Similarity.lshTopK(s, dir, 5, 5)),
+    // ---- misc scalar / stats ops (SURVEY §2.2-2.5) ----
+    "q_clean_text" -> ((s, dir) => Misc.cleanDocs(s, dir)),
+    "q_distinct_docs" -> ((s, dir) => Misc.distinctDocs(s, dir)),
+    "pipe_frame_freq" -> ((s, dir) => Misc.frameFreq(s, dir)),
+    "pipe_norm_date" -> ((s, _) => Misc.normDateTable(s)),
+    "pipe_norm_quantity" -> ((s, _) => Misc.normQuantityTable(s)),
+    "pipe_conf_pctl" -> ((s, dir) => Misc.confidencePctl(Pipeline.triples(s, dir))),
     // ---- multimodal (stub decode; real plumbing) ----
     "q_media_stats" -> ((s, dir) => Multimodal.mediaStats(Corpus.spansTable(s, dir))),
     // ---- KG pipeline (golden-fixture-pinned; rows-only here) ----
@@ -229,6 +236,14 @@ object SparkEntry {
                 min(doc_id) AS keep_doc, count(*) AS n_dups
          FROM documents GROUP BY 1""",
     "q_embed_dims" ->
-      "SELECT vec_id, len(embedding) AS dim, label FROM embeddings"
+      "SELECT vec_id, len(embedding) AS dim, label FROM embeddings",
+    "q_clean_text" ->
+      """SELECT doc_id,
+                trim(regexp_replace(regexp_replace('  <b>' || text || '</b> 	 ', '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS clean
+         FROM documents""",
+    "q_distinct_docs" ->
+      """SELECT lang, count(DISTINCT doc_id) AS n_docs,
+                count(DISTINCT source) AS n_sources
+         FROM documents GROUP BY lang"""
   )
 }

@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.fixtures.{BioGen, Lexicon}
+import graft.functions.Dates
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Remaining SURVEY §2 operator surfaces: text cleaning, corpus stats,
+  * frame frequency, normalizer tables, confidence percentiles.
+  */
+object Misc {
+
+  /** clean_text (reference: strephit/commons/text.py) — strip markup,
+    * collapse whitespace, trim. Pure Catalyst regexp chain.
+    */
+  def cleanText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(regexp_replace(c, "<[^>]*>", " "), "\\s+", " "))
+
+  def cleanDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", cleanText(concat(lit("  <b>"), $"text", lit("</b> \t ")))
+        .as("clean"))
+  }
+
+  /** Corpus stats: exact + approx distinct (SURVEY §2.3 distinct_docs).
+    * The approx column is deliberately not oracle-compared (estimator).
+    */
+  def distinctDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .groupBy($"lang")
+      .agg(countDistinct($"doc_id").as("n_docs"),
+        countDistinct($"source").as("n_sources"))
+  }
+
+  /** Frame frequency: ranked LUs broadcast-semi-joined into the lexical
+    * DB; collect_set of LUs per frame (SURVEY §2.3 frame_freq).
+    */
+  def frameFreq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lus = Extraction.matchN2n(
+      Extraction.sentences(graft.Pipeline.docsFor(s, dir)))
+    lus.groupBy($"frame")
+      .agg(count(lit(1)).as("n_sentences"),
+        sort_array(collect_set($"lu")).as("lus"))
+      .select($"frame", $"n_sentences", concat_ws(",", $"lus").as("lus"))
+  }
+
+  /** The F5 normalizer case table evaluated through the Catalyst
+    * normalizer — deterministic, input-independent (rows-only check;
+    * DatesSpec pins exact values).
+    */
+  def normDateTable(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val surfaces =
+      (0 until 8).map(v => BioGen.dateSurface(v, 1884, 7, 19)._1) ++
+        Seq("1832–1901", "not a date")
+    surfaces.toDF("surface")
+      .withColumn("t", explode(Dates.normDateMulti($"surface")))
+      .select($"surface", $"t.year".as("year"), $"t.month".as("month"),
+        $"t.day".as("day"), $"t.precision".as("precision"),
+        Dates.renderTime($"t").as("rendered"))
+  }
+
+  def normQuantityTable(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq("12.5 km", "1,200 m", "42", "99.9%", "junk").toDF("surface")
+      .withColumn("q", Dates.normQuantity($"surface"))
+      .filter($"q".isNotNull)
+      .select($"surface", $"q.amount".cast("string").as("amount"), $"q.unit".as("unit"))
+  }
+
+  /** Triple-confidence distribution: percentile + an explicit
+    * rowsBetween running average per predicate (SURVEY §2.5).
+    */
+  def confidencePctl(triples: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("pred")).orderBy(col("doc_id"), col("value_key"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    triples
+      .withColumn("running_avg_conf", round(avg(col("confidence")).over(w), 6))
+      .groupBy(col("pred"))
+      .agg(count(lit(1)).as("n"),
+        round(percentile_approx(col("confidence"), lit(0.5), lit(1000)), 6).as("median_conf"),
+        round(last(col("running_avg_conf")), 6).as("avg_conf"))
+  }
+}

@@ -62,14 +62,17 @@ object Serialize {
       "left")
 
     // best link per (doc, sentence, fe): max prior, tie -> min qid;
-    // unlinked rows (time FEs) sort to the back with sentinel 2.0
+    // unlinked rows (time FEs) sort to the back with sentinel 2.0.
+    // min_by -> ObjectHashAggregate with partial agg (a plain
+    // min(struct) falls back to SortAggregate); the ordering key is
+    // unique per group (distinct qids), so ties cannot occur.
     val best = joined
       .groupBy($"doc_id", $"sentence_offset", $"fe")
-      .agg(min(struct(
-        coalesce(-$"prior", lit(2.0)).as("np"),
-        coalesce($"qid", lit("~")).as("qid_ord"),
-        $"qid", $"chunk_text", $"fe_type", $"frame", $"lu",
-        $"confidence", $"spans_sig")).as("b"))
+      .agg(min_by(
+        struct($"qid", $"chunk_text", $"fe_type", $"frame", $"lu",
+          $"confidence", $"spans_sig"),
+        struct(coalesce(-$"prior", lit(2.0)).as("np"),
+          coalesce($"qid", lit("~")).as("qid_ord"))).as("b"))
       .select($"doc_id", $"sentence_offset", $"fe",
         $"b.qid".as("qid"), $"b.chunk_text".as("chunk_text"),
         $"b.fe_type".as("fe_type"), $"b.frame".as("frame"), $"b.lu".as("lu"),
@@ -122,7 +125,8 @@ object Serialize {
         .select($"alias_norm", $"qid", $"prior")),
         lower($"name") === $"alias_norm")
       .groupBy($"doc_id")
-      .agg(min(struct((-$"prior").as("np"), $"qid", $"born", $"occ")).as("b"))
+      .agg(min_by(struct($"qid", $"born", $"occ"),
+        struct((-$"prior").as("np"), $"qid")).as("b"))
       .select($"doc_id", $"b.qid".as("subj"), $"b.born".as("born"), $"b.occ".as("occ"))
 
     val cands = withSubj.select($"doc_id", $"subj",
@@ -139,10 +143,9 @@ object Serialize {
         .select($"alias_norm", $"qid", $"prior")),
         $"obj_kind" === "item" && lower($"value") === $"alias_norm", "left")
       .groupBy($"doc_id", $"subj", $"pred", $"obj_kind", $"value")
-      .agg(min(struct(coalesce(-$"prior", lit(2.0)).as("np"),
-        coalesce($"qid", lit("~")).as("qid_ord"), $"qid")).as("b"))
-      .select($"doc_id", $"subj", $"pred", $"obj_kind", $"value",
-        $"b.qid".as("obj_qid"))
+      .agg(min_by($"qid",
+        struct(coalesce(-$"prior", lit(2.0)).as("np"),
+          coalesce($"qid", lit("~")).as("qid_ord"))).as("obj_qid"))
 
     linked
       .withColumn("obj_time",

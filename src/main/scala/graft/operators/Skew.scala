@@ -29,7 +29,7 @@ object Skew {
     val cond = probeKeys.zip(dimKeys)
       .map { case (p, d) => saltedProbe(p) === saltedDim(d) }
       .reduce(_ && _) && saltedProbe("__salt") === saltedDim("__salt")
-    saltedProbe.hint("merge").join(saltedDim, cond)
+    saltedProbe.hint("shuffle_hash").join(saltedDim, cond)
       .drop(saltedDim("__salt")).drop("__salt")
   }
 

@@ -47,6 +47,20 @@ object Corpus {
       .flatMap(id => BioGen.semiFor(s"doc$id").map(_._1))
   }
 
+  /** k-fold replicated spans table (deterministic doc_id suffixes) —
+    * gives the two-parallelism scaling run enough per-core work that
+    * fixed job overheads don't dominate (BASELINE.md protocol).
+    */
+  def spansTableReplicated(spark: SparkSession, sfDir: String, k: Int): Dataset[Doc] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id".cast("string").as("doc_id"), $"text")
+      .as[(String, String)]
+      .flatMap { case (id, text) =>
+        (0 until k).iterator.map(i => BioGen.generate(s"doc$id#$i", text)._1)
+      }
+  }
+
   /** Pure-fixture corpus of n docs (unit tests; no testdata read). */
   def fixtureCorpus(spark: SparkSession, n: Int): Dataset[Doc] = {
     import spark.implicits._
