@@ -46,7 +46,12 @@ object SparkEntry {
     "q_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(s, dir)),
     "q_quality" -> ((s, dir) => TextAnalysis.quality(s, dir)),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
+    "q_rolling_fp" -> ((s, dir) => TextAnalysis.rollingFingerprint(s, dir)),
     "q_langid" -> ((s, dir) => TextAnalysis.langIdTable(s, dir)),
+    "q_filter_lang" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("lang") === "en")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))),
     // ---- dedup family ----
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
     "q_minhash_buckets" -> ((s, dir) =>
@@ -69,9 +74,23 @@ object SparkEntry {
     // ---- multimodal (stub decode; real plumbing) ----
     "q_media_stats" -> ((s, dir) => Multimodal.mediaStats(Corpus.spansTable(s, dir))),
     // ---- KG pipeline (golden-fixture-pinned; rows-only here) ----
+    "pipe_scan_docs" -> ((s, dir) =>
+      Corpus.spansTable(s, dir).toDF()
+        .select(col("doc_id"), size(col("spans")).as("n_spans"))),
     "pipe_sentences" -> ((s, dir) => {
       Extraction.sentences(Pipeline.docsFor(s, dir))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sentences"))
+    }),
+    "pipe_tokenize" -> ((s, dir) =>
+      Extraction.sentences(Pipeline.docsFor(s, dir)).toDF()
+        .select(col("doc_id"), col("sentence_offset"),
+          size(col("tokens")).as("n_tokens"))),
+    "pipe_sentence_order" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("sentence_offset"))
+      Extraction.sentences(Pipeline.docsFor(s, dir)).toDF()
+        .select(col("doc_id"), col("sentence_offset"),
+          row_number().over(w).as("sentence_idx"))
     }),
     "pipe_extract_n2n" -> ((s, dir) =>
       Extraction.matchN2n(Extraction.sentences(Pipeline.docsFor(s, dir)))
@@ -244,6 +263,9 @@ object SparkEntry {
     "q_distinct_docs" ->
       """SELECT lang, count(DISTINCT doc_id) AS n_docs,
                 count(DISTINCT source) AS n_sources
-         FROM documents GROUP BY lang"""
+         FROM documents GROUP BY lang""",
+    "q_filter_lang" ->
+      """SELECT source, count(*) AS n_docs FROM documents
+         WHERE lang = 'en' GROUP BY source"""
   )
 }

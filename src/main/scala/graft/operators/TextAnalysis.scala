@@ -81,6 +81,18 @@ object TextAnalysis {
           .as("fp"))
   }
 
+  /** Rolling-hash fingerprint via the native codegen'd Catalyst
+    * expression (graft.functions.RollingHash) — the Karp-Rabin
+    * document-fingerprinting primitive.
+    */
+  def rollingFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id",
+        graft.functions.RollingHash.rolling_hash64(
+          regexp_replace(lower($"text"), "\\s+", " ")).as("rfp"))
+  }
+
   /** Language-ID over the documents table (rows-only check; the
     * multilingual behavior is pinned by LangIdSpec).
     */

@@ -55,6 +55,10 @@ object Scaling {
       .config("spark.sql.shuffle.partitions", (nExec * coresPerExec).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // partitions are already sized to the core count; AQE coalescing
+      // below the cluster's parallelism serializes the narrow mention
+      // stream (measured ~10-20% loss at 8 cores)
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -104,6 +108,22 @@ object Scaling {
     (reps.min, nDocs, nTriples)
   }
 
+  private def clusterChecksum(nExec: Int, coresPerExec: Int, sfDir: String): BigDecimal = {
+    val spansDir = ensureSpansTable(sfDir)
+    val spark = clusterSession(nExec, coresPerExec)
+    import spark.implicits._
+    val docs = spark.read.parquet(spansDir).as[graft.model.Doc]
+    val text = Pipeline.textPath(docs)
+    val semi = Serialize.semiTriples(Corpus.semiDocs(spark, sfDir))
+    val t = Serialize.unionDedup(text, semi)
+    val sum = t.select(org.apache.spark.sql.functions.sum(
+      org.apache.spark.sql.functions.xxhash64(
+        col("doc_id"), col("subj"), col("value_key")).cast("decimal(38,0)")))
+      .first().getDecimal(0)
+    spark.stop()
+    BigDecimal(sum)
+  }
+
   private def tripleChecksum(cpus: Int, sfDir: String): BigDecimal = {
     val spansDir = ensureSpansTable(sfDir)
     val spark = Bench.session(cpus.toString)
@@ -151,6 +171,12 @@ object Scaling {
       val (n, c) = (args(1).toInt, args(2).toInt)
       val (s, docs, triples) = runCluster(n, c, sfDir)
       println(f"""{"metric":"cluster_level","executors":$n,"cores_per_exec":$c,"sec":$s%.3f,"docs":$docs,"triples":$triples,"docs_per_sec":${docs / s}%.1f}""")
+      return
+    }
+    if (args.length >= 3 && args(0) == "checksum") {
+      val (n, c) = (args(1).toInt, args(2).toInt)
+      val sum = clusterChecksum(n, c, sfDir)
+      println(s"""{"metric":"cluster_checksum","executors":$n,"cores_per_exec":$c,"checksum":"$sum"}""")
       return
     }
     if (args.length >= 2 && args(0) == "control") {
