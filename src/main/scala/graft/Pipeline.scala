@@ -40,13 +40,18 @@ object Pipeline {
     Serialize.textTriples(cls)
   }
 
+  /** Complete pipeline over explicit inputs (docs must already be
+    * ingest-partitioned): text path ∪ semi-structured path, dedup.
+    * This is the shape a production run uses — docs read from the
+    * committed documents table, not re-synthesized per run.
+    */
+  def triplesOver(docs: Dataset[Doc], semi: Dataset[SemiDoc],
+                  strategy: String = "n2n"): DataFrame =
+    Serialize.unionDedup(textPath(docs, strategy), Serialize.semiTriples(semi))
+
   /** Complete pipeline incl. semi-structured union + dedup. */
-  def triples(spark: SparkSession, sfDir: String, strategy: String = "n2n"): DataFrame = {
-    val docs = docsFor(spark, sfDir)
-    val text = textPath(docs, strategy)
-    val semi = Serialize.semiTriples(Corpus.semiDocs(spark, sfDir))
-    Serialize.unionDedup(text, semi)
-  }
+  def triples(spark: SparkSession, sfDir: String, strategy: String = "n2n"): DataFrame =
+    triplesOver(docsFor(spark, sfDir), Corpus.semiDocs(spark, sfDir), strategy)
 
   /** Pipeline over a pure fixture corpus (unit/golden tests). */
   def fixtureTriples(spark: SparkSession, n: Int, strategy: String = "n2n"): DataFrame = {
@@ -56,6 +61,34 @@ object Pipeline {
     val semi = Serialize.semiTriples(Corpus.fixtureSemi(spark, n))
     Serialize.unionDedup(text, semi)
   }
+
+  /** Rejected-items sideline (SURVEY §2.4 J5): classification-stage
+    * rejects (no subject, unfilled core FE) ∪ serializer-stage rejects
+    * (bad date/quantity, unlinked item/subject) — nothing in the
+    * pipeline is dropped silently; recall loss per reason is queryable.
+    */
+  def rejected(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = docsFor(spark, sfDir)
+    val lus = Extraction.matchN2n(Extraction.sentences(docs))
+    val bc = spark.sparkContext.broadcast(Classification.defaultModel)
+    val clsRej = Classification.rejects(lus, bc).toDF()
+    val serRej = Serialize.rejectedText(Classification.classify(lus, bc))
+    clsRej.unionByName(serRej)
+  }
+
+  /** Driver-friendly flat projection of a triples DataFrame: structs
+    * rendered to strings (obj_time via QuickStatements form), decimals
+    * to strings — pandas/DuckDB cannot hash-compare nested or decimal
+    * columns (round-1 VERDICT.md "What's wrong" #1). Internal plumbing
+    * keeps the typed struct; only driver-facing dumps flatten.
+    */
+  def flatten(t: DataFrame): DataFrame =
+    t.select(
+      col("doc_id"), col("sentence_offset"), col("subj"), col("pred"),
+      col("obj_kind"), col("obj_qid"),
+      graft.functions.Dates.renderTime(col("obj_time")).as("obj_time"),
+      col("obj_quantity").cast("string").as("obj_quantity"),
+      col("obj_text"), col("confidence"), col("source_url"))
 
   /** P/R vs gold on the sfDir corpus — the BASELINE gate. */
   def evaluate(spark: SparkSession, sfDir: String): DataFrame =

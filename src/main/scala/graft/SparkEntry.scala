@@ -122,7 +122,9 @@ object SparkEntry {
         .groupBy(col("fe"), col("etype"))
         .agg(count(lit(1)).as("n"), countDistinct(col("qid")).as("n_qids"))
     }),
-    "pipe_triples" -> ((s, dir) => Pipeline.triples(s, dir)),
+    "pipe_triples" -> ((s, dir) => Pipeline.flatten(Pipeline.triples(s, dir))),
+    "pipe_rejected" -> ((s, dir) => Pipeline.rejected(s, dir)
+      .groupBy(col("frame"), col("reason")).agg(count(lit(1)).as("n"))),
     "pipe_qs" -> ((s, dir) => Serialize.quickStatements(Pipeline.triples(s, dir))),
     "pipe_span_invariant" -> ((s, dir) => {
       val docs = Pipeline.docsFor(s, dir)
@@ -178,22 +180,26 @@ object SparkEntry {
          FROM scored ORDER BY score DESC, tok LIMIT 50""",
     "q_lu_distribution" ->
       """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
-                count(*) AS n_docs, sum(n_chars) AS sum_chars
+                count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents GROUP BY ROLLUP(lang, source)""",
+    // NOTE: every integer sum is wrapped in an OUTER CAST(... AS BIGINT):
+    // DuckDB sum(BIGINT) returns HUGEINT, which the driver's pandas path
+    // coerces to float64 and the hash compare then diverges from Spark's
+    // int64 despite equal values (round-1 VERDICT.md "What's wrong" #2).
     "q_agg_lineitem" ->
       """SELECT l_returnflag, l_linestatus,
-                sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-                sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
                 count(*) AS n_rows
          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
     "q_join_broadcast" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-                sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment""",
     "q_join_salted" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-                sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment""",
     "q_anti_join" ->
@@ -209,9 +215,9 @@ object SparkEntry {
            FROM events) WHERE rn = 1""",
     "q_window_frame" ->
       """SELECT user_id, event_id,
-                sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
                   PARTITION BY user_id ORDER BY event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
          FROM events""",
     "q_topk_docs" ->
       "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10",
@@ -226,7 +232,8 @@ object SparkEntry {
          GROUP BY event_type""",
     "q_json_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
-                count(*) AS n, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+                count(*) AS n,
+                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
          FROM events GROUP BY 1""",
     "q_setops_users" ->
       """(SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'

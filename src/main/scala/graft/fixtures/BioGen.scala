@@ -12,6 +12,9 @@ import graft.util.Det
   */
 object BioGen {
 
+  /** Number of date surface-form variants (FIXTURES.md F5 case table). */
+  val dateVariants = 11
+
   /** Date surface-form rotation (FIXTURES.md F5 case table).
     * Returns (surfaceText, gold TimeValue). 0 = absent component.
     */
@@ -25,7 +28,15 @@ object BioGen {
       case 4 => { val dec = (y / 10) * 10; (s"${dec}s", TimeValue(dec, 0, 0, 8)) }
       case 5 => (f"$y%04d-$m%02d-$d%02d", TimeValue(y, m, d, 11))
       case 6 => (f"$d%02d/$m%02d/$y%04d", TimeValue(y, m, d, 11))
-      case _ => (s"${(y % 100) + 1} BC", TimeValue(-((y % 100) + 1), 0, 0, 9))
+      case 7 => (s"${(y % 100) + 1} BC", TimeValue(-((y % 100) + 1), 0, 0, 9))
+      case 8 => // early/late decade modifier (pinned: modifier drops, decade kept)
+        val dec = (y / 10) * 10
+        val mod = if (d % 2 == 0) "early" else "late"
+        (s"$mod ${dec}s", TimeValue(dec, 0, 0, 8))
+      case 9 => (s"$mName $d, $y", TimeValue(y, m, d, 11)) // US month-day-year
+      case _ => // century (pinned: mid-century year, precision 7)
+        val c = y / 100 + 1
+        (s"${c}th century", TimeValue((c - 1) * 100 + 50, 0, 0, 7))
     }
   }
 
@@ -35,30 +46,30 @@ object BioGen {
   /** A generated bio sentence plus its gold triples (sentence_offset
     * filled in later, once span positions are known).
     */
-  private case class BioSentence(text: String, triples: Seq[(String, String, String, Option[TimeValue], String, String)])
-  // triple parts: (subjQid, pred, objQid, objTime, objKind, objText)
+  private case class BioSentence(text: String, triples: Seq[(String, String, String, Option[TimeValue], Option[BigDecimal], String, String)])
+  // triple parts: (subjQid, pred, objQid, objTime, objQuantity, objKind, objText)
 
   private def mkBio(h: Long, subjIdx: Int): BioSentence = {
     val name = Lexicon.nameAt(subjIdx)
     val subjQ = qidOfName(subjIdx)
-    val tid = Det.bounded(Det.mix(h, 1L), 9)
+    val tid = Det.bounded(Det.mix(h, 1L), 13)
     tid match {
       case 0 =>
         val place = Lexicon.places(Det.bounded(Det.mix(h, 2L), Lexicon.places.length))
         val y = 1700 + Det.bounded(Det.mix(h, 3L), 250)
         val m = 1 + Det.bounded(Det.mix(h, 4L), 12)
         val d = 1 + Det.bounded(Det.mix(h, 5L), 28)
-        val v = Det.bounded(Det.mix(h, 6L), 8)
+        val v = Det.bounded(Det.mix(h, 6L), dateVariants)
         val (surface, tv) = dateSurface(v, y, m, d)
         BioSentence(s"$name was born in $place on $surface .",
-          Seq((subjQ, "P569", "", Some(tv), "time", surface),
-              (subjQ, "P19", qidOfPlace(place), None, "item", place)))
+          Seq((subjQ, "P569", "", Some(tv), None, "time", surface),
+              (subjQ, "P19", qidOfPlace(place), None, None, "item", place)))
       case 1 =>
         val place = Lexicon.places(Det.bounded(Det.mix(h, 2L), Lexicon.places.length))
         val y = 1750 + Det.bounded(Det.mix(h, 3L), 250)
         BioSentence(s"$name died in $place in $y .",
-          Seq((subjQ, "P570", "", Some(TimeValue(y, 0, 0, 9)), "time", y.toString),
-              (subjQ, "P20", qidOfPlace(place), None, "item", place)))
+          Seq((subjQ, "P570", "", Some(TimeValue(y, 0, 0, 9)), None, "time", y.toString),
+              (subjQ, "P20", qidOfPlace(place), None, None, "item", place)))
       case 2 =>
         val partnerIdx = {
           val p = Det.bounded(Det.mix(h, 2L), Lexicon.nameCount)
@@ -67,31 +78,42 @@ object BioGen {
         val partner = Lexicon.nameAt(partnerIdx)
         val y = 1720 + Det.bounded(Det.mix(h, 3L), 250)
         BioSentence(s"$name married $partner in $y .",
-          Seq((subjQ, "P26", qidOfName(partnerIdx), None, "item", partner)))
+          Seq((subjQ, "P26", qidOfName(partnerIdx), None, None, "item", partner)))
       case 3 =>
         val occ = Lexicon.occupations(Det.bounded(Det.mix(h, 2L), Lexicon.occupations.length))
         BioSentence(s"$name worked as a $occ .",
-          Seq((subjQ, "P106", Lexicon.bestLink(occ).qid, None, "item", occ)))
+          Seq((subjQ, "P106", Lexicon.bestLink(occ).qid, None, None, "item", occ)))
       case 4 =>
         val inst = Lexicon.institutions(Det.bounded(Det.mix(h, 2L), Lexicon.institutions.length))
         BioSentence(s"$name studied at $inst .",
-          Seq((subjQ, "P69", Lexicon.bestLink(inst.toLowerCase).qid, None, "item", inst)))
+          Seq((subjQ, "P69", Lexicon.bestLink(inst.toLowerCase).qid, None, None, "item", inst)))
       case 5 =>
         val aw = Lexicon.awards(Det.bounded(Det.mix(h, 2L), Lexicon.awards.length))
         val y = 1800 + Det.bounded(Det.mix(h, 3L), 200)
         BioSentence(s"$name received the $aw award in $y .",
-          Seq((subjQ, "P166", Lexicon.bestLink(aw.toLowerCase).qid, None, "item", aw)))
+          Seq((subjQ, "P166", Lexicon.bestLink(aw.toLowerCase).qid, None, None, "item", aw)))
       case 6 =>
         val place = Lexicon.places(Det.bounded(Det.mix(h, 2L), Lexicon.places.length))
         BioSentence(s"$name lived in $place .",
-          Seq((subjQ, "P551", qidOfPlace(place), None, "item", place)))
+          Seq((subjQ, "P551", qidOfPlace(place), None, None, "item", place)))
       case 7 =>
         val org = Lexicon.orgs(Det.bounded(Det.mix(h, 2L), Lexicon.orgs.length))
         BioSentence(s"$name joined the $org .",
-          Seq((subjQ, "P108", Lexicon.bestLink(org.toLowerCase).qid, None, "item", org)))
-      case _ => // distractor: no LU verb -> no triple
+          Seq((subjQ, "P108", Lexicon.bestLink(org.toLowerCase).qid, None, None, "item", org)))
+      case 8 => // quantity-valued FE (Parenting/P1971)
+        val nKids = 1 + Det.bounded(Det.mix(h, 2L), 9)
+        BioSentence(s"$name raised $nKids children .",
+          Seq((subjQ, "P1971", "", None, Some(BigDecimal(nKids)), "quantity", nKids.toString)))
+      case 9 => // distractor: no LU verb -> no sentence candidate at all
         val place = Lexicon.places(Det.bounded(Det.mix(h, 2L), Lexicon.places.length))
         BioSentence(s"it was a fine morning in $place .", Seq.empty)
+      case 10 => // reject fodder: LU verb but no resolvable subject -> 'no_subject'
+        val org = Lexicon.orgs(Det.bounded(Det.mix(h, 2L), Lexicon.orgs.length))
+        BioSentence(s"The $org was received with praise .", Seq.empty)
+      case 11 => // reject fodder: subject ok, core FE unlinkable -> 'missing_core_fe'
+        BioSentence(s"$name studied at Atlantis .", Seq.empty)
+      case _ => // reject fodder: date chunk that fails canonicalization -> 'bad_date'
+        BioSentence(s"$name died in 1234567 .", Seq.empty)
     }
   }
 
@@ -144,10 +166,10 @@ object BioGen {
     val doc = Doc(docId, spans.toSeq)
     val url = s"https://example.org/doc/$docId"
     val triples = bios.zipWithIndex.flatMap { case (b, i) =>
-      b.triples.map { case (subj, pred, objQid, objTime, objKind, objText) =>
+      b.triples.map { case (subj, pred, objQid, objTime, objQty, objKind, objText) =>
         Triple(subj, pred, objKind,
           if (objQid.isEmpty) null else objQid,
-          objTime, None,
+          objTime, objQty,
           objText, 1.0, docId, bioOffsets(i), url)
       }
     }

@@ -23,7 +23,9 @@ object Lexicon {
     LexEntry("Education",  "study",   "institution", "item", core = true,  "P69"),
     LexEntry("Award",      "receive", "award",       "item", core = true,  "P166"),
     LexEntry("Residence",  "live",    "place",       "item", core = true,  "P551"),
-    LexEntry("Work",       "join",    "employer",    "item", core = true,  "P108")
+    LexEntry("Work",       "join",    "employer",    "item", core = true,  "P108"),
+    // quantity-valued FE (SURVEY §1.1 R8 obj_kind='quantity'): number of children
+    LexEntry("Parenting",  "raise",   "count",       "quantity", core = true, "P1971")
   )
 
   /** lu lemma -> frame (unique per lemma in this lexicon). */
@@ -34,7 +36,7 @@ object Lexicon {
     * (SURVEY.md §7: lowest lu_rank, then lexicographic lemma).
     */
   val luRank: Map[String, Int] = {
-    val order = Seq("bear", "die", "marry", "work", "study", "receive", "live", "join")
+    val order = Seq("bear", "die", "marry", "work", "study", "receive", "live", "join", "raise")
     order.zipWithIndex.toMap
   }
 
@@ -58,6 +60,8 @@ object Lexicon {
     "lives"    -> ("VBZ", "live"),
     "joined"   -> ("VBD", "join"),
     "joins"    -> ("VBZ", "join"),
+    "raised"   -> ("VBD", "raise"),
+    "raises"   -> ("VBZ", "raise"),
     "was"      -> ("VBD", "be"),
     "is"       -> ("VBZ", "be"),
     "were"     -> ("VBD", "be"),

@@ -27,15 +27,23 @@ object Dates {
     struct(y.cast("int").as("year"), m.cast("int").as("month"),
       d.cast("int").as("day"), lit(p).as("precision"))
 
-  /** Normalize a date surface form to the canonical time struct. */
+  /** Normalize a date surface form to the canonical time struct.
+    * Pattern bank mirrors the breadth of the reference's regexes.yml
+    * (public StrepHit commons/resources/regexes.yml): ISO, slashed,
+    * day-month-year, US month-day-year, month-year, circa, decades
+    * with early/late modifiers, centuries (precision 7), BC years,
+    * bare years.
+    */
   def normDate(c0: Column): Column = {
     val c = trim(c0)
     val isoRe = "^(\\d{4})-(\\d{2})-(\\d{2})$"
     val slashRe = "^(\\d{1,2})/(\\d{1,2})/(\\d{4})$"
     val dmyRe = s"^(\\d{1,2}) ($monthAlt) (\\d{1,4})$$"
+    val mdyRe = s"^($monthAlt) (\\d{1,2}), (\\d{1,4})$$" // US form "July 19, 1884"
     val myRe = s"^($monthAlt) (\\d{1,4})$$"
     val circaRe = "^c\\. (\\d{1,4})$"
-    val decadeRe = "^(\\d{2,4})0s$"
+    val decadeRe = "^(?:(?:early|late) )?(\\d{2,4})0s$" // "1830s", "early 1830s"
+    val centuryRe = "^(\\d{1,2})(?:st|nd|rd|th) century$" // pinned: mid-century year, precision 7
     val bcRe = "^(\\d{1,4}) BC$"
     val yRe = "^(\\d{3,4})$"
     when(c.rlike(isoRe),
@@ -47,6 +55,9 @@ object Dates {
       .when(c.rlike(dmyRe),
         tv(regexp_extract(c, dmyRe, 3), monthNum(regexp_extract(c, dmyRe, 2)),
           regexp_extract(c, dmyRe, 1), 11))
+      .when(c.rlike(mdyRe),
+        tv(regexp_extract(c, mdyRe, 3), monthNum(regexp_extract(c, mdyRe, 1)),
+          regexp_extract(c, mdyRe, 2), 11))
       .when(c.rlike(myRe),
         tv(regexp_extract(c, myRe, 2), monthNum(regexp_extract(c, myRe, 1)),
           lit(0), 10))
@@ -54,6 +65,9 @@ object Dates {
         tv(regexp_extract(c, circaRe, 1), lit(0), lit(0), 9))
       .when(c.rlike(decadeRe),
         tv(concat(regexp_extract(c, decadeRe, 1), lit("0")), lit(0), lit(0), 8))
+      .when(c.rlike(centuryRe),
+        tv((regexp_extract(c, centuryRe, 1).cast("int") - 1) * 100 + 50,
+          lit(0), lit(0), 7))
       .when(c.rlike(bcRe),
         tv(-regexp_extract(c, bcRe, 1).cast("int"), lit(0), lit(0), 9))
       .when(c.rlike(yRe), tv(regexp_extract(c, yRe, 1), lit(0), lit(0), 9))

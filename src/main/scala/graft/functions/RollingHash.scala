@@ -28,11 +28,15 @@ case class RollingHash(child: Expression) extends UnaryExpression {
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String]
-    RollingHash.eval(s)
+    RollingHash.hash64(s)
   }
 
+  // NOTE: the companion method must NOT be named `eval` — the case
+  // class inherits Expression.eval, so scalac suppresses the static
+  // forwarder on a name clash and janino then fails to resolve the
+  // call, silently degrading every use to interpreted mode.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.RollingHash.eval($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingHash.hash64($c)")
 
   override protected def withNewChildInternal(newChild: Expression): RollingHash =
     copy(child = newChild)
@@ -42,7 +46,7 @@ object RollingHash {
   final val B = 1000003L
 
   /** Static evaluator shared by interpreted + generated code paths. */
-  def eval(s: UTF8String): Long = {
+  def hash64(s: UTF8String): Long = {
     val bytes = s.getBytes
     var h = 0L
     var i = 0

@@ -10,7 +10,8 @@ import graft.model.Tok
   */
 object Text {
 
-  private val digits = "\\d+".r.pattern
+  private val digits = "\\d+,?".r.pattern           // "19," keeps US-form day in the date run
+  private val ordinal = "\\d+(st|nd|rd|th)".r.pattern
   private val decade = "\\d{2,4}s".r.pattern
   private val iso = "\\d{4}-\\d{2}-\\d{2}".r.pattern
   private val slash = "\\d{1,2}/\\d{1,2}/\\d{4}".r.pattern
@@ -19,7 +20,9 @@ object Text {
     text.split("\\s+").filter(_.nonEmpty)
 
   /** Tag one token. POS tags: V*(verbs), NNM(month), CD(number/date
-    * piece), CA(circa marker), NNP(proper), IN(stopword), .(punct), NN.
+    * piece incl. ordinals), CA(circa marker), DM(decade modifier
+    * early/late), NNT(temporal unit noun), NNP(proper), IN(stopword),
+    * .(punct), NN.
     */
   def tag(word: String): Tok = {
     val lw = word.toLowerCase
@@ -28,9 +31,12 @@ object Text {
       case None =>
         if (Lexicon.monthIndex.contains(lw)) Tok(word, "NNM", lw)
         else if (lw == "bc" || digits.matcher(lw).matches() ||
+                 ordinal.matcher(lw).matches() ||
                  decade.matcher(lw).matches() || iso.matcher(lw).matches() ||
                  slash.matcher(lw).matches()) Tok(word, "CD", lw)
         else if (lw == "c.") Tok(word, "CA", lw)
+        else if (lw == "early" || lw == "late") Tok(word, "DM", lw)
+        else if (lw == "century") Tok(word, "NNT", lw)
         else if (lw == "." || lw == "," || lw == ";") Tok(word, ".", lw)
         else if (Lexicon.stopwords.contains(lw)) Tok(word, "IN", lw)
         else if (word.nonEmpty && word.charAt(0).isUpper) Tok(word, "NNP", lw)
@@ -48,9 +54,17 @@ object Text {
     * gazetteer chunks. Deterministic, order-preserving.
     */
   def chunk(tokens: Seq[Tok], gazetteer: String => Boolean): Seq[RawChunk] = {
+    val n = tokens.length
+    // date-run membership: numbers/months/temporal units, plus circa /
+    // early / late markers when they introduce a number ("c. 1840",
+    // "early 1830s")
+    def inDateRun(j: Int): Boolean = {
+      val p = tokens(j).pos
+      p == "CD" || p == "NNM" || p == "NNT" ||
+        ((p == "CA" || p == "DM") && j + 1 < n && tokens(j + 1).pos == "CD")
+    }
     val out = scala.collection.mutable.ArrayBuffer.empty[RawChunk]
     var i = 0
-    val n = tokens.length
     while (i < n) {
       val t = tokens(i)
       if (t.pos == "NNP") {
@@ -58,11 +72,9 @@ object Text {
         while (j < n && tokens(j).pos == "NNP") j += 1
         out += RawChunk(tokens.slice(i, j).map(_.word).mkString(" "), "entity")
         i = j
-      } else if (t.pos == "CD" || t.pos == "NNM" ||
-                 (t.pos == "CA" && i + 1 < n && tokens(i + 1).pos == "CD")) {
+      } else if (inDateRun(i)) {
         var j = i
-        while (j < n && (tokens(j).pos == "CD" || tokens(j).pos == "NNM" ||
-               (tokens(j).pos == "CA" && j + 1 < n && tokens(j + 1).pos == "CD"))) j += 1
+        while (j < n && inDateRun(j)) j += 1
         out += RawChunk(tokens.slice(i, j).map(_.word).mkString(" "), "date")
         i = j
       } else {

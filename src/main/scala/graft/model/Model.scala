@@ -111,3 +111,14 @@ case class CheckpointRow(
 
 /** Semi-structured path input row (FIXTURES.md F7). */
 case class SemiDoc(doc_id: String, other: Map[String, String])
+
+/** Rejected-items sideline row (SURVEY §2.4 J5): a sentence/statement
+  * that could not become a triple, with the drop reason — nothing is
+  * dropped silently, so recall loss is observable in production.
+  */
+case class Reject(
+    doc_id: String,
+    sentence_offset: Int,
+    lu: String,
+    frame: String,
+    reason: String)

@@ -29,8 +29,13 @@ object Classification {
       wFe: Double,
       coreFes: Set[(String, String)]) extends Serializable {
 
-    /** Classify one LU-matched sentence. None if no subject resolves. */
-    def classify(s: LuSentence): Option[ClassifiedSentence] = {
+    /** Classify one LU-matched sentence, with reject reasons (the J5
+      * rejected-items sideline — nothing is dropped silently):
+      * - no resolvable subject -> (None, "no_subject")
+      * - a core FE left unfilled -> classified anyway, but the reason
+      *   "missing_core_fe" is surfaced so recall loss is observable.
+      */
+    def classifyFull(s: LuSentence): (Option[ClassifiedSentence], Seq[String]) = {
       val raw = Text.chunk(s.tokens, gazEtype.contains)
       // type each chunk: date chunks keep class 'date'; entity/gazetteer
       // chunks get the gazetteer's entity type (unknown -> dropped)
@@ -39,13 +44,16 @@ object Classification {
         else gazEtype.get(c.text.toLowerCase).map(t => (t, c.text))
       }
       val subjIdx = typed.indexWhere(_._1 == "person")
-      if (subjIdx < 0) return None
+      if (subjIdx < 0) return (None, Seq("no_subject"))
       val subjChunk = typed(subjIdx)._2
       val fes = frameFes.getOrElse(s.frame, Seq.empty)
       val chunks: Seq[Chunk] = fes.flatMap { case (fe, feType) =>
         if (feType == "time") {
           typed.find(_._1 == "date")
             .map { case (_, txt) => Chunk(fe, "time", "", txt, 1.0) }
+        } else if (feType == "quantity") {
+          typed.find(t => t._1 == "date" && t._2.nonEmpty && t._2.forall(_.isDigit))
+            .map { case (_, txt) => Chunk(fe, "quantity", "", txt, 1.0) }
         } else {
           val want = feEtype.getOrElse((s.frame, fe), "")
           typed.zipWithIndex
@@ -53,6 +61,10 @@ object Classification {
             .map { case ((et, txt), _) => Chunk(fe, feType, et, txt, 1.0) }
         }
       }
+      val filled = chunks.map(_.fe).toSet
+      val reasons = fes.collect {
+        case (fe, _) if coreFes((s.frame, fe)) && !filled(fe) => "missing_core_fe"
+      }.distinct
       // linear confidence: LU match + filled FEs, normalized by the
       // maximum attainable score for this frame
       val got = wLu + chunks.map(c =>
@@ -60,9 +72,12 @@ object Classification {
       val max = wLu + fes.map { case (fe, _) =>
         if (coreFes((s.frame, fe))) wCoreFe else wFe }.sum
       val conf = if (max <= 0) 0.0 else got / max
-      Some(ClassifiedSentence(s.doc_id, s.sentence_offset, s.frame, s.lu,
-        subjChunk, chunks, conf, s.spans_sig))
+      (Some(ClassifiedSentence(s.doc_id, s.sentence_offset, s.frame, s.lu,
+        subjChunk, chunks, conf, s.spans_sig)), reasons)
     }
+
+    /** Classify one LU-matched sentence. None if no subject resolves. */
+    def classify(s: LuSentence): Option[ClassifiedSentence] = classifyFull(s)._1
   }
 
   /** The frozen default model (FIXTURES.md F2/F3 resources). */
@@ -89,6 +104,22 @@ object Classification {
     luSents.mapPartitions { it =>
       val model = bc.value
       it.flatMap(model.classify)
+    }
+  }
+
+  /** Classification-stage rejected-items sideline (SURVEY §2.4 J5:
+    * "unresolved -> rejected sink"): one row per (sentence, reason),
+    * same single mapPartitions pass shape as classify.
+    */
+  def rejects(luSents: Dataset[LuSentence],
+              bc: Broadcast[FrameModel]): Dataset[Reject] = {
+    import luSents.sparkSession.implicits._
+    luSents.mapPartitions { it =>
+      val model = bc.value
+      it.flatMap { s =>
+        model.classifyFull(s)._2.map(r =>
+          Reject(s.doc_id, s.sentence_offset, s.lu, s.frame, r))
+      }
     }
   }
 }

@@ -55,7 +55,7 @@ object Misc {
   def normDateTable(s: SparkSession): DataFrame = {
     import s.implicits._
     val surfaces =
-      (0 until 8).map(v => BioGen.dateSurface(v, 1884, 7, 19)._1) ++
+      (0 until BioGen.dateVariants).map(v => BioGen.dateSurface(v, 1884, 7, 19)._1) ++
         Seq("1832–1901", "not a date")
     surfaces.toDF("surface")
       .withColumn("t", explode(Dates.normDateMulti($"surface")))
@@ -72,17 +72,16 @@ object Misc {
       .select($"surface", $"q.amount".cast("string").as("amount"), $"q.unit".as("unit"))
   }
 
-  /** Triple-confidence distribution: percentile + an explicit
-    * rowsBetween running average per predicate (SURVEY §2.5).
+  /** Triple-confidence distribution per predicate (SURVEY §2.5).
+    * avg_conf is a plain avg — the former last(running_avg) over a
+    * window was order-dependent after the shuffle (non-deterministic,
+    * round-1 VERDICT #3); the explicit rowsBetween frame surface is
+    * exercised by q_window_frame instead.
     */
-  def confidencePctl(triples: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("pred")).orderBy(col("doc_id"), col("value_key"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+  def confidencePctl(triples: DataFrame): DataFrame =
     triples
-      .withColumn("running_avg_conf", round(avg(col("confidence")).over(w), 6))
       .groupBy(col("pred"))
       .agg(count(lit(1)).as("n"),
         round(percentile_approx(col("confidence"), lit(0.5), lit(1000)), 6).as("median_conf"),
-        round(last(col("running_avg_conf")), 6).as("avg_conf"))
-  }
+        round(avg(col("confidence")), 6).as("avg_conf"))
 }

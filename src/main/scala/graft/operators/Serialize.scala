@@ -25,33 +25,25 @@ object Serialize {
   private val nullDec: Column = lit(null).cast("decimal(38,10)")
 
   /** Canonical value key of a triple (used for dedup + eval joins;
-    * avoids null-key join pitfalls on obj columns).
+    * avoids null-key join pitfalls on obj columns). obj_quantity is
+    * normalized to decimal(38,10) before stringifying: the gold
+    * fixture's Option[BigDecimal] encodes as decimal(38,18), the
+    * pipeline emits decimal(38,10) — without the cast the key strings
+    * diverge on scale ("4.0000000000" vs "4.000000000000000000").
     */
   def valueKey(df: DataFrame): Column =
     concat_ws("|", df("pred"), df("obj_kind"),
       coalesce(df("obj_qid"), lit("")),
       coalesce(Dates.renderTime(df("obj_time")), lit("")),
-      coalesce(df("obj_quantity").cast("string"), lit("")),
+      coalesce(df("obj_quantity").cast("decimal(38,10)").cast("string"), lit("")),
       when(df("obj_kind") === "item" || df("obj_kind") === "time", lit(""))
         .otherwise(coalesce(df("obj_text"), lit(""))))
 
-  /** Text-path triples from classified sentences — SINGLE PASS.
-    *
-    * Scale rationale (BASELINE.md plan-inspection rule): the naive
-    * shape joins a subjects subtree against an items subtree, which
-    * recomputes the whole extract+classify+link pipeline per branch
-    * (2-4 parquet scans, 2-4 classification passes). Instead:
-    *   1. mentions (subject pseudo-FE + item FEs + time FEs) flow once
-    *      through one LEFT broadcast alias join,
-    *   2. best-link = min(struct(-prior, qid, payload)) hash
-    *      aggregation (partial+final, one shuffle, pinned tie-break),
-    *   3. the subject attaches via a window over (doc_id,
-    *      sentence_offset) — no self-join, no recompute,
-    *   4. dates canonicalize inline; the lexical property map is a
-    *      broadcast join.
-    * One scan, one classification pass, two narrow shuffles.
+  /** Linked + canonicalized candidate statements BEFORE the keep/reject
+    * split — the shared subtree of textTriples and rejectedText.
+    * Carries `keep` (statement survives) and `reject_reason`.
     */
-  def textTriples(cls: Dataset[ClassifiedSentence]): DataFrame = {
+  private def linkedStatements(cls: Dataset[ClassifiedSentence]): DataFrame = {
     val spark = cls.sparkSession
     import spark.implicits._
     val m = Linking.mentions(cls)
@@ -62,10 +54,13 @@ object Serialize {
       "left")
 
     // best link per (doc, sentence, fe): max prior, tie -> min qid;
-    // unlinked rows (time FEs) sort to the back with sentinel 2.0.
-    // min_by -> ObjectHashAggregate with partial agg (a plain
-    // min(struct) falls back to SortAggregate); the ordering key is
-    // unique per group (distinct qids), so ties cannot occur.
+    // unlinked rows (time/quantity FEs) sort to the back with sentinel
+    // 2.0. NOTE: min_by(struct, struct) compiles to SortAggregate
+    // (partial+final) — DeclarativeAggregate with a var-length buffer
+    // cannot use hash aggregation; the partial agg still collapses each
+    // group to one row before the exchange, so the shuffle is narrow.
+    // The ordering key is unique per group (distinct qids), so ties
+    // cannot occur.
     val best = joined
       .groupBy($"doc_id", $"sentence_offset", $"fe")
       .agg(min_by(
@@ -82,7 +77,7 @@ object Serialize {
     val w = Window.partitionBy($"doc_id", $"sentence_offset")
     val withSubj = best
       .withColumn("subj", max(when($"fe" === "__subj", $"qid")).over(w))
-      .filter($"fe" =!= "__subj" && $"subj".isNotNull)
+      .filter($"fe" =!= "__subj")
 
     val lex = broadcast(lexDf(spark)
       .select($"frame", $"fe", $"wikidata_property".as("pred")))
@@ -92,14 +87,61 @@ object Serialize {
       .withColumn("obj_time",
         when($"fe_type" === "time", Dates.normDate($"chunk_text"))
           .otherwise(nullTime))
-      .filter(($"fe_type" === "time" && $"obj_time".isNotNull) ||
-        ($"fe_type" === "item" && $"qid".isNotNull))
+      .withColumn("obj_quantity",
+        when($"fe_type" === "quantity",
+          Dates.normQuantity($"chunk_text").getField("amount").cast("decimal(38,10)"))
+          .otherwise(nullDec))
+      .withColumn("keep", $"subj".isNotNull &&
+        (($"fe_type" === "time" && $"obj_time".isNotNull) ||
+         ($"fe_type" === "item" && $"qid".isNotNull) ||
+         ($"fe_type" === "quantity" && $"obj_quantity".isNotNull)))
+      .withColumn("reject_reason",
+        when($"subj".isNull, "unlinked_subject")
+          .when($"fe_type" === "time" && $"obj_time".isNull, "bad_date")
+          .when($"fe_type" === "quantity" && $"obj_quantity".isNull, "bad_quantity")
+          .when($"fe_type" === "item" && $"qid".isNull, "unlinked_item"))
+  }
+
+  /** Text-path triples from classified sentences — SINGLE PASS.
+    *
+    * Scale rationale (BASELINE.md plan-inspection rule): the naive
+    * shape joins a subjects subtree against an items subtree, which
+    * recomputes the whole extract+classify+link pipeline per branch
+    * (2-4 parquet scans, 2-4 classification passes). Instead:
+    *   1. mentions (subject pseudo-FE + item/time/quantity FEs) flow
+    *      once through one LEFT broadcast alias join,
+    *   2. best-link = min_by aggregation (partial+final, one shuffle,
+    *      pinned tie-break),
+    *   3. the subject attaches via a window over (doc_id,
+    *      sentence_offset) — no self-join, no recompute,
+    *   4. dates/quantities canonicalize inline; the lexical property
+    *      map is a broadcast join.
+    * One scan, one classification pass, two narrow shuffles.
+    */
+  def textTriples(cls: Dataset[ClassifiedSentence]): DataFrame = {
+    import cls.sparkSession.implicits._
+    linkedStatements(cls)
+      .filter($"keep")
       .select($"doc_id", $"sentence_offset", $"pred",
-        when($"fe_type" === "time", "time").otherwise("item").as("obj_kind"),
+        when($"fe_type" === "time", "time")
+          .when($"fe_type" === "quantity", "quantity")
+          .otherwise("item").as("obj_kind"),
         when($"fe_type" === "item", $"qid").otherwise(lit(null).cast("string")).as("obj_qid"),
-        $"obj_time", nullDec.as("obj_quantity"),
+        $"obj_time", $"obj_quantity",
         $"chunk_text".as("obj_text"), $"confidence", $"spans_sig", $"subj")
       .withColumn("source_url", concat(lit("https://example.org/doc/"), $"doc_id"))
+  }
+
+  /** Serializer-stage rejected-items sideline (SURVEY §2.4 J5): the
+    * complementary filter of textTriples — statements whose value
+    * failed canonicalization or linking, with the reason.
+    */
+  def rejectedText(cls: Dataset[ClassifiedSentence]): DataFrame = {
+    import cls.sparkSession.implicits._
+    linkedStatements(cls)
+      .filter(!$"keep")
+      .select($"doc_id", $"sentence_offset", $"lu", $"frame",
+        $"reject_reason".as("reason"))
   }
 
   /** Semi-structured path (FIXTURES.md F7): `other` map -> triples.
@@ -172,11 +214,16 @@ object Serialize {
       .drop("rn")
   }
 
-  /** QuickStatements rendering: `Qsubj \t Pprop \t value \t S854 \t "url"`. */
+  /** QuickStatements rendering: `Qsubj \t Pprop \t value \t S854 \t "url"`.
+    * Quantity amounts render without trailing zeros ("4", "12.5").
+    */
   def quickStatements(triples: DataFrame): DataFrame = {
+    val qty = regexp_replace(regexp_replace(
+      col("obj_quantity").cast("decimal(38,10)").cast("string"),
+      "0+$", ""), "\\.$", "")
     val value = when(col("obj_kind") === "item", col("obj_qid"))
       .when(col("obj_kind") === "time", Dates.renderTime(col("obj_time")))
-      .when(col("obj_kind") === "quantity", col("obj_quantity").cast("string"))
+      .when(col("obj_kind") === "quantity", qty)
       .otherwise(concat(lit("\""), col("obj_text"), lit("\"")))
     triples.select(concat_ws("\t",
       col("subj"), col("pred"), value,

@@ -24,12 +24,18 @@ class DatesSpec extends SparkSuite {
     assert(norm("1832-01-27") === Some((1832, 1, 27, 11)))
     assert(norm("27/01/1832") === Some((1832, 1, 27, 11)))
     assert(norm("44 BC") === Some((-44, 0, 0, 9)))
+    assert(norm("July 19, 1884") === Some((1884, 7, 19, 11)))
+    assert(norm("early 1830s") === Some((1830, 0, 0, 8)))
+    assert(norm("late 1830s") === Some((1830, 0, 0, 8)))
+    assert(norm("19th century") === Some((1850, 0, 0, 7)))
+    assert(norm("2nd century") === Some((150, 0, 0, 7)))
+    assert(norm("1234567") === None) // bad-date reject fodder stays unparseable
     assert(norm("not a date") === None)
     assert(norm("") === None)
   }
 
   test("all BioGen surface variants round-trip") {
-    for (v <- 0 until 8) {
+    for (v <- 0 until BioGen.dateVariants) {
       val (surface, tv) = BioGen.dateSurface(v, 1884, 7, 19)
       assert(norm(surface) === Some((tv.year, tv.month, tv.day, tv.precision)),
         s"variant $v surface '$surface'")
@@ -69,7 +75,7 @@ class DatesSpec extends SparkSuite {
   }
 
   test("render∘parse determinism: parse(render-surface) twice equal") {
-    for (v <- 0 until 8; y <- Seq(1701, 1999); m <- Seq(1, 12); d <- Seq(1, 28)) {
+    for (v <- 0 until BioGen.dateVariants; y <- Seq(1701, 1999); m <- Seq(1, 12); d <- Seq(1, 28)) {
       val (s1, _) = BioGen.dateSurface(v, y, m, d)
       assert(norm(s1) === norm(s1))
     }

@@ -97,6 +97,41 @@ class PipelineSpec extends SparkSuite {
     assert(again.count() === t.count())
   }
 
+  test("quantity triples emit end-to-end and render plain in QS") {
+    val doc = Doc("qty1", Seq(
+      Span("text", "Alice Abram raised 4 children .", null, 0)))
+    val text = Pipeline.textPath(Seq(doc).toDS())
+    val rows = text.filter($"obj_kind" === "quantity")
+      .select($"pred", $"obj_quantity".cast("string"), $"subj").collect()
+    assert(rows.length === 1)
+    assert(rows(0).getString(0) === "P1971")
+    assert(rows(0).getString(1).startsWith("4"))
+    val subjQ = graft.fixtures.Lexicon.bestLink("alice abram").qid
+    val qs = Serialize.quickStatements(text).collect().map(_.getString(0))
+    assert(qs.contains(s"$subjQ\tP1971\t4\tS854\t\"https://example.org/doc/qty1\""))
+    // fixture-wide: the gold gate covers value equality; here just presence
+    val t = Pipeline.fixtureTriples(spark, N)
+    assert(t.filter($"obj_kind" === "quantity").count() > 0)
+  }
+
+  test("rejected sideline: reasons for each drop class, none silent") {
+    val docs = Seq(
+      Doc("r1", Seq(Span("text", "The Gazette was received with praise .", null, 0))),
+      Doc("r2", Seq(Span("text", "Alice Abram studied at Atlantis .", null, 0))),
+      Doc("r3", Seq(Span("text", "Alice Abram died in 1234567 .", null, 0))),
+      Doc("r4", Seq(Span("text", "Alice Abram worked as a writer .", null, 0)))).toDS()
+    val lus = Extraction.matchN2n(Extraction.sentences(docs))
+    val bc = spark.sparkContext.broadcast(Classification.defaultModel)
+    val clsRej = Classification.rejects(lus, bc).toDF()
+    val serRej = Serialize.rejectedText(Classification.classify(lus, bc))
+    val all = clsRej.unionByName(serRej)
+      .select($"doc_id", $"reason").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(all.contains(("r1", "no_subject")))
+    assert(all.contains(("r2", "missing_core_fe")))
+    assert(all.contains(("r3", "bad_date")))
+    assert(!all.exists(_._1 == "r4")) // clean sentence rejects nothing
+  }
+
   test("semi-structured path contributes triples for ~20% of docs") {
     val semi = Serialize.semiTriples(Corpus.fixtureSemi(spark, 200))
     val nDocs = semi.select("doc_id").distinct().count()

@@ -20,7 +20,7 @@ class RollingHashSpec extends SparkSuite {
 
   test("static eval matches reference (codegen path shares it)") {
     for (s <- Seq("x", "abc def", "12345"))
-      assert(RollingHash.eval(UTF8String.fromString(s)) === ref(s))
+      assert(RollingHash.hash64(UTF8String.fromString(s)) === ref(s))
   }
 
   test("null-safe and SQL-registered") {
@@ -38,5 +38,18 @@ class RollingHashSpec extends SparkSuite {
     // deterministic across two runs
     assert(df.agg(sum($"rfp".cast("decimal(38,0)"))).collect()(0).getDecimal(0) ===
       df.agg(sum($"rfp".cast("decimal(38,0)"))).collect()(0).getDecimal(0))
+  }
+
+  test("generated code actually compiles (no interpreter fallback)") {
+    // CODEGEN_ONLY turns the silent janino-failure fallback into an
+    // error — guards the static-forwarder name-clash regression (a
+    // companion method named `eval` shadows Expression.eval and scalac
+    // then emits no static forwarder for janino to resolve).
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val r = Seq("abc", "xyz").toDF("s")
+        .select(RollingHash.rolling_hash64($"s").as("h")).collect()
+      assert(r.map(_.getLong(0)).toSeq === Seq(ref("abc"), ref("xyz")))
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
   }
 }
