@@ -132,6 +132,21 @@ object SparkEntry {
     }),
     "pipe_checkpoint" -> ((s, dir) =>
       Checkpoint.stageMetrics(Pipeline.triples(s, dir), "verify", "triples", 16, 0L)),
+    // sink_triples (SURVEY §2.1): flagship triples written through the
+    // partitioned TableIO sink (partitionBy pred_bucket + manifest
+    // commit), then read back from the COMMITTED table and summarized.
+    "pipe_sink" -> ((s, dir) => {
+      import graft.sources.TableIO
+      val flat = Pipeline.flatten(Pipeline.triples(s, dir))
+        .withColumn("pred_bucket", pmod(hash(col("pred")), lit(8)))
+      val table = s"${sys.props("java.io.tmpdir")}/graft_sink_" +
+        dir.replaceAll("[^a-zA-Z0-9.]", "_")
+      TableIO.write(flat, table, partitionBy = Seq("pred_bucket"), snapshotId = "verify")
+      TableIO.read(s, table)
+        .groupBy(col("pred_bucket"))
+        .agg(count(lit(1)).as("n_rows"), countDistinct(col("pred")).as("n_preds"))
+        .withColumn("pred_bucket", col("pred_bucket").cast("int"))
+    }),
     "pipe_eval" -> ((s, dir) => Pipeline.evaluate(s, dir))
   )
 
@@ -164,11 +179,10 @@ object SparkEntry {
       """WITH terms AS (
            SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS tok FROM documents),
          t AS (SELECT doc_id, tok, count(*) AS tf FROM terms WHERE tok <> '' GROUP BY doc_id, tok),
-         d AS (SELECT tok, count(DISTINCT doc_id) AS df FROM terms WHERE tok <> '' GROUP BY tok),
          n AS (SELECT count(*)::DOUBLE AS n FROM documents),
          bytok AS (
-           SELECT t.tok, avg(t.tf * ln(n.n / d.df)) AS a_raw, first(d.df) AS df
-           FROM t JOIN d ON t.tok = d.tok CROSS JOIN n GROUP BY t.tok),
+           SELECT tok, avg(tf) * ln((SELECT n FROM n) / count(*)) AS a_raw, count(*) AS df
+           FROM t GROUP BY tok),
          mm AS (SELECT min(a_raw) AS a_min, max(a_raw) AS a_max FROM bytok),
          scored AS (
            SELECT tok,

@@ -63,11 +63,17 @@ object Checkpoint {
       .as[Doc]
   }
 
-  /** Run a stage with checkpointing: compute triples for pending
-    * buckets only, append their metrics, return the new triples.
+  /** Run a stage with checkpointing, write-then-metrics (round-1
+    * VERDICT #4): the stage output is committed to `outTable` FIRST —
+    * that write is the ONLY computation of the stage — then metrics
+    * derive from the committed files and the returned DataFrame is a
+    * read of the committed table, so the caller's action never
+    * recomputes the stage. Every pending bucket gets a checkpoint row,
+    * including buckets that yielded zero output rows — otherwise a
+    * resume would recompute empty buckets forever.
     */
   def runStage(docs: Dataset[Doc], checkpointTable: String, runId: String,
-               stage: String, buckets: Int)
+               stage: String, buckets: Int, outTable: String)
               (body: Dataset[Doc] => DataFrame): DataFrame = {
     val spark = docs.sparkSession
     val existing =
@@ -76,11 +82,35 @@ object Checkpoint {
         import spark.implicits._
         spark.emptyDataset[CheckpointRow].toDF()
       }
+    val done = existing
+      .filter(col("run_id") === runId && col("stage") === stage && col("status") === "ok")
+      .select(col("partition_id").cast("int").as("bucket")).distinct()
     val pending = pendingDocs(docs, existing, runId, stage, buckets)
     val t0 = System.currentTimeMillis()
-    val out = body(pending)
-    append(stageMetrics(out, runId, stage, buckets, System.currentTimeMillis() - t0),
-      checkpointTable)
-    out
+    graft.sources.TableIO.write(body(pending), outTable,
+      snapshotId = s"$runId-$stage",
+      mode = org.apache.spark.sql.SaveMode.Append)
+    val committed = graft.sources.TableIO.read(spark, outTable)
+    val wallMs = System.currentTimeMillis() - t0
+    // metrics from the COMMITTED table (cheap columnar re-read), plus a
+    // zero row for every pending bucket the output skipped entirely
+    val base = stageMetrics(committed, runId, stage, buckets, wallMs)
+    val allPending = spark.range(buckets)
+      .select(col("id").cast("int").as("partition_id"))
+      .join(broadcast(done.withColumnRenamed("bucket", "partition_id")),
+        Seq("partition_id"), "left_anti")
+    val rows = allPending.join(base, Seq("partition_id"), "left")
+      .select(
+        coalesce(col("run_id"), lit(runId)).as("run_id"),
+        coalesce(col("stage"), lit(stage)).as("stage"),
+        col("partition_id"),
+        coalesce(col("doc_count"), lit(0L)).as("doc_count"),
+        coalesce(col("triple_count"), lit(0L)).as("triple_count"),
+        col("min_doc"), col("max_doc"),
+        coalesce(col("wall_ms"), lit(wallMs)).as("wall_ms"),
+        coalesce(col("spans_sig_ok"), lit(true)).as("spans_sig_ok"),
+        lit("ok").as("status"))
+    append(rows, checkpointTable)
+    committed
   }
 }

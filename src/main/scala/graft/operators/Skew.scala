@@ -4,28 +4,54 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Generic salted equi-join for skewed keys (BASELINE.json north_star:
-  * "salted hash-join for skewed entities"). The dimension side is
-  * replicated `salt` times with a salt column; each probe row picks one
-  * deterministic salt bucket, so a hot key's probe rows spread over
-  * `salt` shuffle partitions instead of one. Result rows are identical
-  * to the unsalted join (asserted in SkewSpec and via the q_join_salted
-  * DuckDB oracle). AQE skew-join splitting handles residual skew.
+  * "salted hash-join for skewed entities"), heavy-hitter-aware
+  * (SURVEY §2.4 J4): a first-pass probe-side count finds the top-k hot
+  * keys (broadcast — never collected to the driver); ONLY those dim
+  * rows replicate `salt` ways, so a hot key's probe rows spread over
+  * `salt` shuffle partitions while the cold tail shuffles exactly once
+  * (the round-1 version replicated the entire dimension — x`salt` dim
+  * shuffle volume at scale). Result rows are identical to the unsalted
+  * join (asserted in SkewSpec and via the q_join_salted DuckDB oracle).
+  * AQE skew-join splitting handles residual skew.
   */
 object Skew {
 
   /** Inner equi-join probe⋈dim on probeKeys==dimKeys with `salt`-way
-    * dimension replication. The shuffle is forced (merge hint) so the
-    * salting actually matters — a broadcast would hide it.
+    * replication of heavy-hitter dim rows only. The shuffle is forced
+    * (shuffle_hash hint) so the salting actually matters — a broadcast
+    * would hide it.
+    *
+    * @param hotK how many top probe keys count as heavy hitters
     */
   def saltedJoin(probe: DataFrame, dim: DataFrame,
                  probeKeys: Seq[String], dimKeys: Seq[String],
-                 salt: Int): DataFrame = {
+                 salt: Int, hotK: Int = 64): DataFrame = {
     require(salt > 0)
-    val saltedDim = dim
-      .withColumn("__salt", explode(array((0 until salt).map(lit): _*)))
-    // deterministic bucket per probe row: hash over ALL probe columns
-    val saltedProbe = probe
-      .withColumn("__salt", pmod(hash(probe.columns.map(col).toSeq: _*), lit(salt)))
+    // pass 1: heavy-hitter key set from the probe side (tiny, broadcast)
+    val hotCols = probeKeys.zipWithIndex.map { case (k, i) => col(k).as(s"__hk$i") }
+    val hot = probe.select(hotCols: _*)
+      .groupBy((0 until probeKeys.length).map(i => col(s"__hk$i")): _*)
+      .count()
+      .orderBy(col("count").desc +: (0 until probeKeys.length).map(i => col(s"__hk$i")): _*)
+      .limit(hotK)
+      .withColumn("__hot", lit(true))
+      .drop("count")
+
+    def hotCond(df: DataFrame, keys: Seq[String]) =
+      keys.zipWithIndex.map { case (k, i) => df(k) === col(s"__hk$i") }.reduce(_ && _)
+
+    // dim side: hot rows replicate `salt` ways, cold rows once (salt 0)
+    val saltedDim = dim.join(broadcast(hot), hotCond(dim, dimKeys), "left")
+      .withColumn("__nsalt", when(col("__hot"), lit(salt)).otherwise(lit(1)))
+      .withColumn("__salt", explode(sequence(lit(0), col("__nsalt") - 1)))
+      .drop((0 until probeKeys.length).map(i => s"__hk$i") :+ "__hot" :+ "__nsalt": _*)
+    // probe side: hot rows pick a deterministic bucket (hash over ALL
+    // probe columns), cold rows always bucket 0
+    val saltedProbe = probe.join(broadcast(hot), hotCond(probe, probeKeys), "left")
+      .withColumn("__salt",
+        when(col("__hot"), pmod(hash(probe.columns.map(probe(_)).toSeq: _*), lit(salt)))
+          .otherwise(lit(0)))
+      .drop((0 until probeKeys.length).map(i => s"__hk$i") :+ "__hot": _*)
     val cond = probeKeys.zip(dimKeys)
       .map { case (p, d) => saltedProbe(p) === saltedDim(d) }
       .reduce(_ && _) && saltedProbe("__salt") === saltedDim("__salt")

@@ -20,10 +20,17 @@ object TableIO {
 
   private def manifestPath(table: String) = Paths.get(table, "_MANIFEST")
 
-  /** Commit a DataFrame as a (partitioned) table with a manifest. */
+  /** Commit a DataFrame as a (partitioned) table with a manifest.
+    * mode=Append accumulates data files and re-commits a new manifest
+    * snapshot over the union (the Iceberg-append analog) — used by
+    * resumable stage runs to add pending buckets' output without
+    * clobbering completed ones. Row count comes from the committed
+    * files' footers (metadata-only scan), not a recompute of `df`.
+    */
   def write(df: DataFrame, table: String, partitionBy: Seq[String] = Nil,
-            snapshotId: String = "s1"): Manifest = {
-    val w = df.write.mode(SaveMode.Overwrite)
+            snapshotId: String = "s1",
+            mode: SaveMode = SaveMode.Overwrite): Manifest = {
+    val w = df.write.mode(mode)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(s"$table/data")
     val n = df.sparkSession.read.parquet(s"$table/data").count()

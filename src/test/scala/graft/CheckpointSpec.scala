@@ -23,9 +23,9 @@ class CheckpointSpec extends SparkSuite {
       .select($"doc_id", $"subj", $"pred", coalesce($"obj_qid", $"obj_text").as("o"))
       .collect().map(_.toString).sorted.toSeq
 
-    // run 1: checkpointed
-    val out1 = Checkpoint.runStage(docs, ckptTable, "run1", "triples", Buckets)(
-      d => Pipeline.textPath(d))
+    // run 1: checkpointed (stage output committed to its own table)
+    val out1 = Checkpoint.runStage(docs, ckptTable, "run1", "triples", Buckets,
+      s"$dir/out1")(d => Pipeline.textPath(d))
     out1.count()
     val ck1 = Checkpoint.readTable(spark, ckptTable)
     val nBuckets1 = ck1.select("partition_id").distinct().count()
@@ -54,6 +54,37 @@ class CheckpointSpec extends SparkSuite {
       .select($"doc_id", $"subj", $"pred", coalesce($"obj_qid", $"obj_text").as("o"))
       .collect().map(_.toString).sorted.toSeq
     assert(resumed === full)
+  }
+
+  test("runStage resume: second run completes the table, rows for every bucket") {
+    val dir = java.nio.file.Files.createTempDirectory("ckpt_rs").toString
+    val ckptTable = s"$dir/checkpoint"
+    val outTable = s"$dir/stage_out"
+    val docs = Corpus.fixtureCorpus(spark, 80)
+    val full = Pipeline.textPath(docs)
+      .select($"doc_id", $"subj", $"pred", coalesce($"obj_qid", $"obj_text").as("o"))
+      .collect().map(_.toString).sorted.toSeq
+
+    // run 1 over half the buckets only (simulate a partial run by
+    // pre-marking the other half as NOT pending via a fake body filter)
+    Checkpoint.runStage(
+      docs.withColumn("b", Checkpoint.bucketOf(Buckets))
+        .filter($"b" < Buckets / 2).drop("b").as[graft.model.Doc],
+      ckptTable, "run1", "triples", Buckets, outTable)(d => Pipeline.textPath(d))
+    // every bucket got a row (the doc-less upper half records zero counts)
+    val ck1 = Checkpoint.readTable(spark, ckptTable)
+    assert(ck1.select("partition_id").distinct().count() === Buckets)
+    // wipe the upper-half rows to mark them pending again
+    val ckptTable2 = s"$dir/checkpoint2"
+    ck1.filter($"partition_id" < Buckets / 2).write.parquet(ckptTable2)
+
+    // run 2 resumes: only upper-half buckets recompute and APPEND
+    val out2 = Checkpoint.runStage(docs, ckptTable2, "run1", "triples",
+      Buckets, outTable)(d => Pipeline.textPath(d))
+    val resumed = out2
+      .select($"doc_id", $"subj", $"pred", coalesce($"obj_qid", $"obj_text").as("o"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(resumed === full) // committed table now holds the complete stage output
   }
 
   test("stage metrics rows carry lineage columns") {
