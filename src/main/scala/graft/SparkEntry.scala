@@ -106,6 +106,24 @@ object SparkEntry {
         .groupBy(col("frame"))
         .agg(count(lit(1)).as("n"), round(avg(col("confidence")), 6).as("avg_conf"))
     }),
+    "pipe_featurize" -> ((s, dir) => {
+      val lus = Extraction.matchN2n(Extraction.sentences(Pipeline.docsFor(s, dir)))
+      val bc = s.sparkContext.broadcast(Classification.defaultModel)
+      Classification.featurize(lus, bc)
+        .groupBy(col("lu"))
+        .agg(count(lit(1)).as("n_sentences"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("n_features")).as("sum_features"),
+          sum(col("feat_sum")).as("sum_feat_hash"))
+    }),
+    "pipe_classify_learned" -> ((s, dir) => {
+      val lus = Extraction.matchN2n(Extraction.sentences(Pipeline.docsFor(s, dir)))
+      val bcL = s.sparkContext.broadcast(graft.ml.LinearModel.default)
+      val bcR = s.sparkContext.broadcast(Classification.defaultModel)
+      Classification.classifyLearned(lus, bcL, bcR)
+        .groupBy(col("frame"))
+        .agg(count(lit(1)).as("n"), round(avg(col("confidence")), 6).as("avg_conf"))
+    }),
     "pipe_link" -> ((s, dir) => {
       val docs = Pipeline.docsFor(s, dir)
       val lus = Extraction.matchN2n(Extraction.sentences(docs))

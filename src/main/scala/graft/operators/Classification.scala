@@ -107,6 +107,78 @@ object Classification {
     }
   }
 
+  /** Build a ClassifiedSentence from learned token labels: contiguous
+    * same-label runs become chunks; the frame's FE inventory picks its
+    * run; sentences where the tagger finds no subject fall back to the
+    * rule model (graceful degradation, SURVEY §2.7 rule_classify).
+    */
+  def classifyLearnedOne(s: LuSentence, lm: graft.ml.LinearModel.Learned,
+                         rule: FrameModel): Option[ClassifiedSentence] = {
+    val toks = s.tokens.toIndexedSeq
+    val labels = lm.tagTokens(toks, s.lu, rule.gazEtype.get)
+    // contiguous non-O runs -> (label, chunkText)
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var i = 0
+    while (i < labels.length) {
+      if (labels(i) != "O") {
+        var j = i
+        while (j < labels.length && labels(j) == labels(i)) j += 1
+        runs += ((labels(i), toks.slice(i, j).map(_.word).mkString(" ")))
+        i = j
+      } else i += 1
+    }
+    runs.find(_._1 == "__subj") match {
+      case None => rule.classify(s) // learned tagger found no subject
+      case Some((_, subjChunk)) =>
+        val fes = rule.frameFes.getOrElse(s.frame, Seq.empty)
+        val chunks: Seq[Chunk] = fes.flatMap { case (fe, feType) =>
+          runs.find(_._1 == fe).map { case (_, txt) =>
+            val et = if (feType == "item") rule.feEtype.getOrElse((s.frame, fe), "") else ""
+            Chunk(fe, feType, et, txt, 1.0)
+          }
+        }
+        val got = rule.wLu + chunks.map(c =>
+          if (rule.coreFes((s.frame, c.fe))) rule.wCoreFe else rule.wFe).sum
+        val max = rule.wLu + fes.map { case (fe, _) =>
+          if (rule.coreFes((s.frame, fe))) rule.wCoreFe else rule.wFe }.sum
+        val conf = if (max <= 0) 0.0 else got / max
+        Some(ClassifiedSentence(s.doc_id, s.sentence_offset, s.frame, s.lu,
+          subjChunk, chunks, conf, s.spans_sig))
+    }
+  }
+
+  /** Learned-model scoring inside mapPartitions (SURVEY §2.7 classify,
+    * learned branch): broadcast weights, rule model as fallback.
+    */
+  def classifyLearned(luSents: Dataset[LuSentence],
+                      bcLearned: Broadcast[graft.ml.LinearModel.Learned],
+                      bcRule: Broadcast[FrameModel]): Dataset[ClassifiedSentence] = {
+    import luSents.sparkSession.implicits._
+    luSents.mapPartitions { it =>
+      val lm = bcLearned.value
+      val rule = bcRule.value
+      it.flatMap(s => classifyLearnedOne(s, lm, rule))
+    }
+  }
+
+  /** Featurization as a first-class dataset op (SURVEY §2.7 featurize):
+    * per-token hashed one-hot indices, summarized per sentence.
+    */
+  def featurize(luSents: Dataset[LuSentence],
+                bc: Broadcast[FrameModel]): org.apache.spark.sql.DataFrame = {
+    import luSents.sparkSession.implicits._
+    luSents.mapPartitions { it =>
+      val gaz = bc.value.gazEtype.get _
+      it.map { s =>
+        val toks = s.tokens.toIndexedSeq
+        val feats = toks.indices.flatMap(i =>
+          graft.ml.Features.tokenFeatures(toks, i, s.lu, gaz))
+        (s.doc_id, s.sentence_offset, s.lu, toks.length, feats.length,
+          feats.foldLeft(0L)((a, f) => a + f))
+      }
+    }.toDF("doc_id", "sentence_offset", "lu", "n_tokens", "n_features", "feat_sum")
+  }
+
   /** Classification-stage rejected-items sideline (SURVEY §2.4 J5:
     * "unresolved -> rejected sink"): one row per (sentence, reason),
     * same single mapPartitions pass shape as classify.
