@@ -98,6 +98,9 @@ object SparkEntry {
     "pipe_extract_121" -> ((s, dir) =>
       Extraction.match121(Extraction.sentences(Pipeline.docsFor(s, dir)))
         .groupBy(col("lu"), col("frame")).agg(count(lit(1)).as("n"))),
+    "pipe_extract_syn" -> ((s, dir) =>
+      Extraction.matchSyntactic(Extraction.sentences(Pipeline.docsFor(s, dir)))
+        .groupBy(col("lu"), col("frame")).agg(count(lit(1)).as("n"))),
     "pipe_classify" -> ((s, dir) => {
       val docs = Pipeline.docsFor(s, dir)
       val lus = Extraction.matchN2n(Extraction.sentences(docs))
@@ -147,6 +150,8 @@ object SparkEntry {
     "pipe_span_invariant" -> ((s, dir) => {
       val docs = Pipeline.docsFor(s, dir)
       Serialize.spanInvariant(docs, Pipeline.textPath(docs))
+        .agg(count(lit(1)).as("n_docs_checked"),
+          sum(when(!col("sig_ok"), 1L).otherwise(0L)).as("n_violations"))
     }),
     "pipe_checkpoint" -> ((s, dir) =>
       Checkpoint.stageMetrics(Pipeline.triples(s, dir), "verify", "triples", 16, 0L)),
@@ -168,8 +173,26 @@ object SparkEntry {
     "pipe_eval" -> ((s, dir) => Pipeline.evaluate(s, dir))
   )
 
-  /** DuckDB-equivalent SQL per SQL-expressible query key. */
-  def oracleSql: Map[String, String] = Map(
+  /** DuckDB-equivalent SQL per query key: hand-written SQL over the
+    * raw testdata tables where expressible, plus generated
+    * literal-VALUES oracles (tools/OracleGen, frozen at sf0.01 — the
+    * driver's correctness scale) for the deterministic pipeline
+    * queries. Regenerate the VALUES set after any fixture change:
+    * `sbt "runMain graft.tools.OracleGen /root/testdata/sf0.01"`.
+    */
+  def oracleSql: Map[String, String] =
+    staticOracleSql ++ graft.tools.OracleGen.keys.flatMap(valuesOracle)
+
+  private def valuesOracle(key: String): Option[(String, String)] = {
+    val in = getClass.getResourceAsStream(s"/oracles/$key.sql")
+    if (in == null) None
+    else {
+      val src = scala.io.Source.fromInputStream(in, "UTF-8")
+      try Some(key -> src.mkString) finally { src.close(); in.close() }
+    }
+  }
+
+  private def staticOracleSql: Map[String, String] = Map(
     "q_tf" ->
       """SELECT doc_id, tok, count(*) AS tf
          FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS tok FROM documents)
@@ -273,14 +296,14 @@ object SparkEntry {
          EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type = 'error' AND value > 199""",
     "q_token_count" ->
       """SELECT doc_id,
-                len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS n_tokens,
-                length(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_pieces
+                CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS INTEGER) AS n_tokens,
+                CAST(length(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INTEGER) AS n_pieces
          FROM documents""",
     "q_quality" ->
-      """WITH q AS (SELECT doc_id, length(text) AS len_chars,
+      """WITH q AS (SELECT doc_id, CAST(length(text) AS INTEGER) AS len_chars,
                 list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS toks
          FROM documents)
-         SELECT doc_id, len_chars, len(toks) AS n_tokens,
+         SELECT doc_id, len_chars, CAST(len(toks) AS INTEGER) AS n_tokens,
                 round(CASE WHEN len(toks) = 0 THEN 0.0
                   ELSE list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) END, 6) AS avg_tok_len,
                 round(CASE WHEN len(toks) = 0 THEN 0.0
@@ -294,7 +317,7 @@ object SparkEntry {
                 min(doc_id) AS keep_doc, count(*) AS n_dups
          FROM documents GROUP BY 1""",
     "q_embed_dims" ->
-      "SELECT vec_id, len(embedding) AS dim, label FROM embeddings",
+      "SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim, label FROM embeddings",
     "q_clean_text" ->
       """SELECT doc_id,
                 trim(regexp_replace(regexp_replace('  <b>' || text || '</b> 	 ', '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS clean

@@ -55,6 +55,28 @@ object Extraction {
       .as[LuSentence]
   }
 
+  /** Strategy syntactic (third public-StrepHit strategy; there a
+    * dependency-parse test that the LU governs the sentence). With no
+    * parser in this sandbox the pinned rule is: the LU must fill the
+    * sentence's MAIN-VERB slot, approximated as the FIRST non-auxiliary
+    * verb token (lemma != 'be'). Pure Catalyst: a higher-order filter
+    * over the tokens array picks the candidate lemma — no explode at
+    * all, so this is the cheapest strategy (≤1 row per sentence, one
+    * broadcast join).
+    */
+  def matchSyntactic(sents: Dataset[Sentence]): Dataset[LuSentence] = {
+    val spark = sents.sparkSession
+    import spark.implicits._
+    sents
+      .withColumn("lemma",
+        // get() tolerates the empty-array case (ANSI mode) -> null lemma
+        expr("get(filter(tokens, t -> t.pos like 'V%' and t.lemma <> 'be'), 0).lemma"))
+      .join(broadcast(luDict(spark)), $"lemma" === $"lu_lemma")
+      .select($"doc_id", $"sentence_offset", $"lu_lemma".as("lu"), $"frame",
+        $"text", $"tokens", $"spans_sig")
+      .as[LuSentence]
+  }
+
   /** Strategy 121: at most one LU per sentence — lowest lu_rank, then
     * lexicographic lemma (pinned determinism, SURVEY.md §7).
     */

@@ -47,6 +47,15 @@ class ExtractionSpec extends SparkSuite {
     // pinned: lowest lu_rank wins -> bear (rank 0) over die (rank 1)
     assert(one.map(l => (l.sentence_offset, l.lu)).sorted.toSeq ===
       Seq((0, "bear"), (2, "work")))
+    // syntactic: main-verb slot = first non-auxiliary verb ("born" ->
+    // bear; "worked" -> work); "died" is not in the main slot
+    val syn = Extraction.matchSyntactic(sents).collect()
+    assert(syn.map(l => (l.sentence_offset, l.lu)).sorted.toSeq ===
+      Seq((0, "bear"), (2, "work")))
+    // a sentence whose only verb is auxiliary yields no syntactic row
+    val auxOnly = Extraction.sentences(Seq(Doc("d2", Seq(
+      Span("text", "it was a fine morning in Paris .", null, 0)))).toDS())
+    assert(Extraction.matchSyntactic(auxOnly).count() === 0)
   }
 
   test("span-sequence invariant: sig equals input for arbitrary docs") {
