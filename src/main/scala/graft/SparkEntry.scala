@@ -147,6 +147,8 @@ object SparkEntry {
     "pipe_rejected" -> ((s, dir) => Pipeline.rejected(s, dir)
       .groupBy(col("frame"), col("reason")).agg(count(lit(1)).as("n"))),
     "pipe_qs" -> ((s, dir) => Serialize.quickStatements(Pipeline.triples(s, dir))),
+    "pipe_dedup_global" -> ((s, dir) =>
+      Serialize.dedupStatements(Pipeline.triples(s, dir))),
     "pipe_span_invariant" -> ((s, dir) => {
       val docs = Pipeline.docsFor(s, dir)
       Serialize.spanInvariant(docs, Pipeline.textPath(docs))

@@ -40,6 +40,11 @@ object Text {
         else if (lw == "." || lw == "," || lw == ";") Tok(word, ".", lw)
         else if (Lexicon.stopwords.contains(lw)) Tok(word, "IN", lw)
         else if (word.nonEmpty && word.charAt(0).isUpper) Tok(word, "NNP", lw)
+        // suffix heuristics: general English degrades to sensible POS
+        // instead of a flat NN (the lexicon covers only the LU verbs)
+        else if (lw.length > 4 && lw.endsWith("ed")) Tok(word, "VBD", lw.dropRight(2))
+        else if (lw.length > 5 && lw.endsWith("ing")) Tok(word, "VBG", lw.dropRight(3))
+        else if (lw.length > 3 && lw.endsWith("ly")) Tok(word, "RB", lw)
         else Tok(word, "NN", lw)
     }
   }

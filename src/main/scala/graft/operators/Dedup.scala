@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.util.Det
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact,
@@ -18,6 +19,25 @@ object Dedup {
   val NumHashes = 32
   val Bands = 8
   val Rows = NumHashes / Bands // 4
+
+  /** Hot-bucket cap: a bucket with more than this many members (empty
+    * docs, boilerplate) is dropped from candidate generation — its
+    * within-bucket self-join is quadratic while its pairs are mostly
+    * junk. Real near-dup clusters bigger than the cap still surface
+    * through their other (band, bucket) keys.
+    */
+  val MaxBucket = 64
+
+  /** Drop members of degenerate buckets before a bucket self-join.
+    * Window count over the same key the join shuffles on — AQE reuses
+    * the partitioning, so the cap costs no extra exchange.
+    */
+  private def capBuckets(buckets: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    buckets.withColumn("__bsize", count(lit(1)).over(w))
+      .filter(col("__bsize") <= cap)
+      .drop("__bsize")
+  }
 
   /** 3-token shingle hashes of a text. */
   def shingles(text: String): Array[Long] = {
@@ -117,7 +137,7 @@ object Dedup {
       .as[(String, String)]
       .map { case (id, t) => (id, minhash(if (t == null) "" else t).toSeq) }
       .toDF("doc_id", "sig")
-    val buckets = minhashBuckets(docs)
+    val buckets = capBuckets(minhashBuckets(docs), Seq("band", "bucket"), MaxBucket)
     val cand = buckets.as("l")
       .join(buckets.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
@@ -151,12 +171,13 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val t = simhashTable(docs)
-    val banded = t.select($"doc_id", $"simhash",
+    val banded0 = t.select($"doc_id", $"simhash",
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("chunk"),
           shiftright($"simhash", i * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*))
         .as("b"))
       .select($"doc_id", $"simhash", $"b.chunk", $"b.key")
+    val banded = capBuckets(banded0, Seq("chunk", "key"), MaxBucket)
     banded.as("l").join(banded.as("r"),
       col("l.chunk") === col("r.chunk") && col("l.key") === col("r.key") &&
         col("l.doc_id") < col("r.doc_id"))

@@ -214,6 +214,30 @@ object Serialize {
       .drop("rn")
   }
 
+  /** Global statement dedup (SURVEY §2.6 dedup_triples): ONE row per
+    * distinct claim (subj, pred, value) across the whole corpus — the
+    * QuickStatements-upload view, where a claim stated by many
+    * documents must upload once. Keeps the lowest (doc_id,
+    * sentence_offset) as the canonical reference and counts sources.
+    * The flagship table keeps per-document rows (unionDedup) because
+    * provenance is a feature there; this is the collapse on top.
+    */
+  def dedupStatements(triples: DataFrame): DataFrame = {
+    val keyed =
+      if (triples.columns.contains("value_key")) triples
+      else triples.withColumn("value_key", valueKey(triples))
+    keyed
+      .groupBy(col("subj"), col("pred"), col("value_key"))
+      .agg(
+        min_by(struct(col("doc_id"), col("sentence_offset"), col("source_url")),
+          struct(col("doc_id"), col("sentence_offset"))).as("ref"),
+        countDistinct(col("doc_id")).as("n_source_docs"))
+      .select(col("subj"), col("pred"), col("value_key"),
+        col("ref.doc_id").as("doc_id"),
+        col("ref.source_url").as("source_url"),
+        col("n_source_docs"))
+  }
+
   /** QuickStatements rendering: `Qsubj \t Pprop \t value \t S854 \t "url"`.
     * Quantity amounts render without trailing zeros ("4", "12.5").
     */

@@ -29,7 +29,7 @@ object OracleGen {
     "pipe_link", "pipe_link_salted", "pipe_triples", "pipe_qs",
     "pipe_checkpoint", "pipe_conf_pctl", "pipe_eval", "pipe_frame_freq",
     "pipe_norm_date", "pipe_norm_quantity", "pipe_rejected", "pipe_sink",
-    "pipe_span_invariant",
+    "pipe_span_invariant", "pipe_dedup_global",
     "q_langid", "q_rolling_fp", "q_simhash", "q_minhash_buckets",
     "q_ann_brute", "q_ann_lsh", "q_media_stats")
 
