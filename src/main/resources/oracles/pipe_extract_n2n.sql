@@ -1,11 +1,12 @@
 SELECT * FROM (VALUES
-(CAST('bear' AS VARCHAR),CAST('Being_born' AS VARCHAR),CAST(127 AS BIGINT)),
-('study','Education',202),
-('receive','Award',232),
-('join','Work',975),
-('die','Death',234),
-('live','Residence',126),
-('work','Occupation',96),
-('marry','Marriage',116),
-('raise','Parenting',112)
+(CAST('receive' AS VARCHAR),CAST('Award' AS VARCHAR),CAST(194 AS BIGINT)),
+('reside','Residence_period',119),
+('study','Education',218),
+('bear','Being_born',119),
+('join','Work',960),
+('die','Death',207),
+('live','Residence',92),
+('work','Occupation',125),
+('marry','Marriage',104),
+('raise','Parenting',101)
 ) AS t("lu","frame","n")

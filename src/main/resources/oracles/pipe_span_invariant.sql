@@ -1,3 +1,3 @@
 SELECT * FROM (VALUES
-(CAST(483 AS BIGINT),CAST(0 AS BIGINT))
+(CAST(490 AS BIGINT),CAST(0 AS BIGINT))
 ) AS t("n_docs_checked","n_violations")

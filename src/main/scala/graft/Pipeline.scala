@@ -29,14 +29,23 @@ object Pipeline {
 
   /** Full text-path: docs -> triples DataFrame (single-pass fused
     * link+serialize — see Serialize.textTriples scale rationale).
+    * strategy ∈ n2n | 121 | syntactic; learned = perceptron tagger
+    * with the rule model as fallback (SURVEY §2.7).
     */
-  def textPath(docs: Dataset[Doc], strategy: String = "n2n"): DataFrame = {
+  def textPath(docs: Dataset[Doc], strategy: String = "n2n",
+               learned: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     val sents = Extraction.sentences(docs)
-    val lus = if (strategy == "121") Extraction.match121(sents)
-              else Extraction.matchN2n(sents)
+    val lus = strategy match {
+      case "121" => Extraction.match121(sents)
+      case "syntactic" => Extraction.matchSyntactic(sents)
+      case _ => Extraction.matchN2n(sents)
+    }
     val bc = spark.sparkContext.broadcast(Classification.defaultModel)
-    val cls = Classification.classify(lus, bc)
+    val cls =
+      if (learned) Classification.classifyLearned(lus,
+        spark.sparkContext.broadcast(graft.ml.LinearModel.default), bc)
+      else Classification.classify(lus, bc)
     Serialize.textTriples(cls)
   }
 
@@ -46,8 +55,8 @@ object Pipeline {
     * committed documents table, not re-synthesized per run.
     */
   def triplesOver(docs: Dataset[Doc], semi: Dataset[SemiDoc],
-                  strategy: String = "n2n"): DataFrame =
-    Serialize.unionDedup(textPath(docs, strategy), Serialize.semiTriples(semi))
+                  strategy: String = "n2n", learned: Boolean = false): DataFrame =
+    Serialize.unionDedup(textPath(docs, strategy, learned), Serialize.semiTriples(semi))
 
   /** Complete pipeline incl. semi-structured union + dedup. */
   def triples(spark: SparkSession, sfDir: String, strategy: String = "n2n"): DataFrame =

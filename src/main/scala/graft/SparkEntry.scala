@@ -144,6 +144,9 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), countDistinct(col("qid")).as("n_qids"))
     }),
     "pipe_triples" -> ((s, dir) => Pipeline.flatten(Pipeline.triples(s, dir))),
+    "pipe_triples_learned" -> ((s, dir) => Pipeline.flatten(
+      Pipeline.triplesOver(Pipeline.docsFor(s, dir),
+        graft.sources.Corpus.semiDocs(s, dir), learned = true))),
     "pipe_rejected" -> ((s, dir) => Pipeline.rejected(s, dir)
       .groupBy(col("frame"), col("reason")).agg(count(lit(1)).as("n"))),
     "pipe_qs" -> ((s, dir) => Serialize.quickStatements(Pipeline.triples(s, dir))),

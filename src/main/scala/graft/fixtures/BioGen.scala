@@ -52,7 +52,7 @@ object BioGen {
   private def mkBio(h: Long, subjIdx: Int): BioSentence = {
     val name = Lexicon.nameAt(subjIdx)
     val subjQ = qidOfName(subjIdx)
-    val tid = Det.bounded(Det.mix(h, 1L), 13)
+    val tid = Det.bounded(Det.mix(h, 1L), 14)
     tid match {
       case 0 =>
         val place = Lexicon.places(Det.bounded(Det.mix(h, 2L), Lexicon.places.length))
@@ -112,8 +112,17 @@ object BioGen {
         BioSentence(s"The $org was received with praise .", Seq.empty)
       case 11 => // reject fodder: subject ok, core FE unlinkable -> 'missing_core_fe'
         BioSentence(s"$name studied at Atlantis .", Seq.empty)
-      case _ => // reject fodder: date chunk that fails canonicalization -> 'bad_date'
+      case 12 => // reject fodder: date chunk that fails canonicalization -> 'bad_date'
         BioSentence(s"$name died in 1234567 .", Seq.empty)
+      case _ => // range-valued time FE: start (P580) + end (P582) statements
+        val place = Lexicon.places(Det.bounded(Det.mix(h, 2L), Lexicon.places.length))
+        val y1 = 1700 + Det.bounded(Det.mix(h, 3L), 200)
+        val y2 = y1 + 1 + Det.bounded(Det.mix(h, 4L), 60)
+        val surface = s"$y1–$y2"
+        BioSentence(s"$name resided in $place during $surface .",
+          Seq((subjQ, "P551", qidOfPlace(place), None, None, "item", place),
+              (subjQ, "P580", "", Some(TimeValue(y1, 0, 0, 9)), None, "time", surface),
+              (subjQ, "P582", "", Some(TimeValue(y2, 0, 0, 9)), None, "time", surface)))
     }
   }
 

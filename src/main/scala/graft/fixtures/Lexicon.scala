@@ -25,7 +25,11 @@ object Lexicon {
     LexEntry("Residence",  "live",    "place",       "item", core = true,  "P551"),
     LexEntry("Work",       "join",    "employer",    "item", core = true,  "P108"),
     // quantity-valued FE (SURVEY §1.1 R8 obj_kind='quantity'): number of children
-    LexEntry("Parenting",  "raise",   "count",       "quantity", core = true, "P1971")
+    LexEntry("Parenting",  "raise",   "count",       "quantity", core = true, "P1971"),
+    // range-valued time FE: "resided in X during 1832–1901" -> start
+    // (P580) + end (P582) statements via normDateMulti
+    LexEntry("Residence_period", "reside", "place",  "item",      core = false, "P551"),
+    LexEntry("Residence_period", "reside", "period", "timerange", core = true,  "P580")
   )
 
   /** lu lemma -> frame (unique per lemma in this lexicon). */
@@ -36,7 +40,7 @@ object Lexicon {
     * (SURVEY.md §7: lowest lu_rank, then lexicographic lemma).
     */
   val luRank: Map[String, Int] = {
-    val order = Seq("bear", "die", "marry", "work", "study", "receive", "live", "join", "raise")
+    val order = Seq("bear", "die", "marry", "work", "study", "receive", "live", "join", "raise", "reside")
     order.zipWithIndex.toMap
   }
 
@@ -62,6 +66,8 @@ object Lexicon {
     "joins"    -> ("VBZ", "join"),
     "raised"   -> ("VBD", "raise"),
     "raises"   -> ("VBZ", "raise"),
+    "resided"  -> ("VBD", "reside"),
+    "resides"  -> ("VBZ", "reside"),
     "was"      -> ("VBD", "be"),
     "is"       -> ("VBZ", "be"),
     "were"     -> ("VBD", "be"),
@@ -123,6 +129,7 @@ object Lexicon {
     */
   val feEtype: Map[(String, String), String] = Map(
     ("Being_born", "place")       -> "place",
+    ("Residence_period", "place") -> "place",
     ("Death", "place")            -> "place",
     ("Marriage", "partner")       -> "person",
     ("Occupation", "occupation")  -> "occupation",

@@ -11,6 +11,7 @@ import graft.model.Tok
 object Text {
 
   private val digits = "\\d+,?".r.pattern           // "19," keeps US-form day in the date run
+  private val range = "\\d{3,4}[–-]\\d{3,4}".r.pattern // year range "1832–1901"
   private val ordinal = "\\d+(st|nd|rd|th)".r.pattern
   private val decade = "\\d{2,4}s".r.pattern
   private val iso = "\\d{4}-\\d{2}-\\d{2}".r.pattern
@@ -31,7 +32,7 @@ object Text {
       case None =>
         if (Lexicon.monthIndex.contains(lw)) Tok(word, "NNM", lw)
         else if (lw == "bc" || digits.matcher(lw).matches() ||
-                 ordinal.matcher(lw).matches() ||
+                 ordinal.matcher(lw).matches() || range.matcher(lw).matches() ||
                  decade.matcher(lw).matches() || iso.matcher(lw).matches() ||
                  slash.matcher(lw).matches()) Tok(word, "CD", lw)
         else if (lw == "c.") Tok(word, "CA", lw)

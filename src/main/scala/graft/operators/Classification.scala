@@ -54,6 +54,9 @@ object Classification {
         } else if (feType == "quantity") {
           typed.find(t => t._1 == "date" && t._2.nonEmpty && t._2.forall(_.isDigit))
             .map { case (_, txt) => Chunk(fe, "quantity", "", txt, 1.0) }
+        } else if (feType == "timerange") {
+          typed.find(t => t._1 == "date" && t._2.matches("\\d{3,4}[–-]\\d{3,4}"))
+            .map { case (_, txt) => Chunk(fe, "timerange", "", txt, 1.0) }
         } else {
           val want = feEtype.getOrElse((s.frame, fe), "")
           typed.zipWithIndex

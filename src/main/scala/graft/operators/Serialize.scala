@@ -82,22 +82,40 @@ object Serialize {
     val lex = broadcast(lexDf(spark)
       .select($"frame", $"fe", $"wikidata_property".as("pred")))
 
+    val isTimeKind = $"fe_type" === "time" || $"fe_type" === "timerange"
+
+    // ONE explode covers single dates AND ranges: every row carries an
+    // array of (pred, time) candidates — 1 element for plain FEs, 2 for
+    // a range-valued time FE (start P580 / end P582 via normDateMulti;
+    // zip_with pads an unparseable range with null times, which reject
+    // as bad_date downstream). Non-time rows get a 1-element null-time
+    // candidate, so row counts are unchanged for them — no union, the
+    // upstream subtree stays single-pass.
     withSubj
       .join(lex, Seq("frame", "fe"))
-      .withColumn("obj_time",
-        when($"fe_type" === "time", Dates.normDate($"chunk_text"))
-          .otherwise(nullTime))
+      .withColumn("tcand",
+        when($"fe_type" === "time",
+          array(struct($"pred".as("pred2"), Dates.normDate($"chunk_text").as("t"))))
+          .when($"fe_type" === "timerange",
+            zip_with(Dates.normDateMulti($"chunk_text"),
+              array(lit("P580"), lit("P582")),
+              (t, p) => struct(p.as("pred2"), t.as("t"))))
+          .otherwise(array(struct($"pred".as("pred2"), nullTime.as("t")))))
+      .withColumn("tc", explode($"tcand"))
+      .withColumn("pred", coalesce($"tc.pred2", $"pred"))
+      .withColumn("obj_time", $"tc.t")
+      .drop("tcand", "tc")
       .withColumn("obj_quantity",
         when($"fe_type" === "quantity",
           Dates.normQuantity($"chunk_text").getField("amount").cast("decimal(38,10)"))
           .otherwise(nullDec))
       .withColumn("keep", $"subj".isNotNull &&
-        (($"fe_type" === "time" && $"obj_time".isNotNull) ||
+        ((isTimeKind && $"obj_time".isNotNull) ||
          ($"fe_type" === "item" && $"qid".isNotNull) ||
          ($"fe_type" === "quantity" && $"obj_quantity".isNotNull)))
       .withColumn("reject_reason",
         when($"subj".isNull, "unlinked_subject")
-          .when($"fe_type" === "time" && $"obj_time".isNull, "bad_date")
+          .when(isTimeKind && $"obj_time".isNull, "bad_date")
           .when($"fe_type" === "quantity" && $"obj_quantity".isNull, "bad_quantity")
           .when($"fe_type" === "item" && $"qid".isNull, "unlinked_item"))
   }
@@ -123,7 +141,7 @@ object Serialize {
     linkedStatements(cls)
       .filter($"keep")
       .select($"doc_id", $"sentence_offset", $"pred",
-        when($"fe_type" === "time", "time")
+        when($"fe_type" === "time" || $"fe_type" === "timerange", "time")
           .when($"fe_type" === "quantity", "quantity")
           .otherwise("item").as("obj_kind"),
         when($"fe_type" === "item", $"qid").otherwise(lit(null).cast("string")).as("obj_qid"),

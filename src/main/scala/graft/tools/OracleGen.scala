@@ -26,7 +26,7 @@ object OracleGen {
     "pipe_scan_docs", "pipe_sentences", "pipe_tokenize", "pipe_sentence_order",
     "pipe_extract_n2n", "pipe_extract_121", "pipe_extract_syn",
     "pipe_classify", "pipe_classify_learned", "pipe_featurize",
-    "pipe_link", "pipe_link_salted", "pipe_triples", "pipe_qs",
+    "pipe_link", "pipe_link_salted", "pipe_triples", "pipe_triples_learned", "pipe_qs",
     "pipe_checkpoint", "pipe_conf_pctl", "pipe_eval", "pipe_frame_freq",
     "pipe_norm_date", "pipe_norm_quantity", "pipe_rejected", "pipe_sink",
     "pipe_span_invariant", "pipe_dedup_global",

@@ -114,6 +114,20 @@ class PipelineSpec extends SparkSuite {
     assert(t.filter($"obj_kind" === "quantity").count() > 0)
   }
 
+  test("time-range FE emits start (P580) + end (P582) statements") {
+    val doc = Doc("tr1", Seq(
+      Span("text", "Alice Abram resided in Paris during 1832–1901 .", null, 0)))
+    val text = Pipeline.textPath(Seq(doc).toDS())
+    val rows = text.select($"pred",
+      graft.functions.Dates.renderTime($"obj_time").as("t"), $"obj_qid")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val parisQ = graft.fixtures.Lexicon.bestLink("paris").qid
+    assert(rows === Set(
+      ("P551", null, parisQ),
+      ("P580", "+1832-00-00T00:00:00Z/9", null),
+      ("P582", "+1901-00-00T00:00:00Z/9", null)))
+  }
+
   test("rejected sideline: reasons for each drop class, none silent") {
     val docs = Seq(
       Doc("r1", Seq(Span("text", "The Gazette was received with praise .", null, 0))),
