@@ -64,6 +64,8 @@ object SparkEntry {
         .select(col("vec_id"), size(col("embedding")).as("dim"), col("label"))),
     "q_ann_brute" -> ((s, dir) => Similarity.bruteForceTopK(s, dir, 5, 5)),
     "q_ann_lsh" -> ((s, dir) => Similarity.lshTopK(s, dir, 5, 5)),
+    "q_ann_ivf" -> ((s, dir) => // index build (an action) + probe
+      Similarity.ivfTopK(s, dir, Similarity.buildIvfCentroids(s, dir, 16), 5, 5)),
     // ---- misc scalar / stats ops (SURVEY §2.2-2.5) ----
     "q_clean_text" -> ((s, dir) => Misc.cleanDocs(s, dir)),
     "q_distinct_docs" -> ((s, dir) => Misc.distinctDocs(s, dir)),

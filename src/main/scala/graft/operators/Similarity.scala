@@ -110,6 +110,84 @@ object Similarity {
         round($"cos", 6).as("cos"))
   }
 
+  /** IVF coarse-quantizer centroids: an explicit INDEX-BUILD action
+    * (the one sanctioned driver-side step — building an index is an
+    * action by nature, unlike query construction). Deterministic: the
+    * seed centroids are the first `k` vectors by vec_id, refined by one
+    * Lloyd step (mean of assigned vectors — deterministic given seeds).
+    */
+  def buildIvfCentroids(spark: SparkSession, sfDir: String,
+                        k: Int, dim: Int = DefaultDim): Array[(Int, Array[Double])] = {
+    import spark.implicits._
+    val emb = loadEmb(spark, sfDir)
+    val seeds = emb.filter($"vec_id" < k)
+      .orderBy($"vec_id")
+      .collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    // one Lloyd refinement: assign all vectors to the nearest seed,
+    // take per-cell means (single distributed agg, no iteration loop)
+    val means = (0 until dim).map(j => avg(element_at($"vec", j + 1)).as(s"c$j"))
+    val assigned = emb
+      .withColumn("cid", nearestCentroid($"vec", seeds))
+      .groupBy($"cid")
+      .agg(means.head, means.tail: _*)
+      .collect()
+    // sorted by cell id: downstream positional indices must be stable
+    assigned.map(r => (r.getInt(0),
+      (0 until dim).map(j => r.getDouble(j + 1)).toArray))
+      .sortBy(_._1)
+  }
+
+  /** Nearest-centroid id of a vector (argmin squared L2 over the
+    * broadcast-literal centroid table; pure Catalyst — array_sort on
+    * (dist, id) structs, deterministic tie-break on id).
+    */
+  def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val cells = centroids.zipWithIndex.map { case (c, i) =>
+      val d = aggregate(zip_with(vec, typedlit(c.toSeq), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+      struct(d.as("dist"), lit(i).as("id"))
+    }
+    element_at(array_sort(array(cells: _*)), 1).getField("id")
+  }
+
+  /** IVF ANN top-k: corpus vectors live in their nearest-centroid cell;
+    * each query probes its `nprobe` nearest cells (explode — candidates
+    * arrive via an equi-join on cell id, shuffle-bounded). The 100 TB
+    * shape: centroid table is broadcast-literal, candidate volume is
+    * corpus/k * nprobe per query.
+    */
+  def ivfTopK(spark: SparkSession, sfDir: String,
+              centroids: Array[(Int, Array[Double])],
+              nQueries: Int, k: Int, nprobe: Int = 2): DataFrame = {
+    import spark.implicits._
+    val emb = loadEmb(spark, sfDir)
+    val cents = centroids.map(_._2)
+    val ids = centroids.map(_._1)
+    // nprobe nearest cell ids per query vector, as an array column
+    def probeCells(vec: Column): Column = {
+      val cells = cents.zip(ids).map { case (c, i) =>
+        val d = aggregate(zip_with(vec, typedlit(c.toSeq), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v)
+        struct(d.as("dist"), lit(i).as("id"))
+      }
+      slice(transform(array_sort(array(cells: _*)), s => s.getField("id")), 1, nprobe)
+    }
+    val corpus = emb.withColumn("cell", nearestCentroid($"vec", cents))
+      .withColumn("cell", element_at(typedlit(ids.toSeq), $"cell" + 1))
+    val queries = emb.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"vec".as("qvec"),
+        explode(probeCells($"vec")).as("cell"))
+    val scored = corpus.join(queries, Seq("cell"))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("cos", cosine($"vec", $"qvec"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank",
+        round($"cos", 6).as("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (bucketed; cos ≥ threshold). */
   def cosineDupPairs(spark: SparkSession, sfDir: String,
                      threshold: Double, bits: Int = 6,

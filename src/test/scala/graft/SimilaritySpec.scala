@@ -46,14 +46,32 @@ class SimilaritySpec extends SparkSuite {
   test("LSH top-k achieves high recall vs brute force") {
     val exact = Similarity.bruteForceTopK(spark, tmp, 5, 3)
       .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = Similarity.lshTopK(spark, tmp, 5, 3, bits = 4)
+    val approx = Similarity.lshTopK(spark, tmp, 5, 3, bits = 4, dim = 8)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall exact=$exact approx=$approx")
+    // guard: buckets must actually partition the corpus (a wrong dim
+    // once nulled every projection and collapsed LSH to one bucket)
+    val emb = spark.read.parquet(s"$tmp/embeddings.parquet")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("vec"))
+    val nBuckets = emb.select(Similarity.lshBucket($"vec", 8, 4).as("b"))
+      .distinct().count()
+    assert(nBuckets > 1, "all vectors hashed to a single LSH bucket")
+  }
+
+  test("IVF top-k achieves high recall vs brute force") {
+    val cents = Similarity.buildIvfCentroids(spark, tmp, 6, dim = 8)
+    assert(cents.length > 1)
+    val exact = Similarity.bruteForceTopK(spark, tmp, 5, 3)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(spark, tmp, cents, 5, 3, nprobe = 2)
       .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.8, s"recall=$recall exact=$exact approx=$approx")
   }
 
   test("cosine near-dup pairs are same-cluster only") {
-    val pairs = Similarity.cosineDupPairs(spark, tmp, 0.98, bits = 4)
+    val pairs = Similarity.cosineDupPairs(spark, tmp, 0.98, bits = 4, dim = 8)
     val emb = spark.read.parquet(s"$tmp/embeddings.parquet")
       .select($"vec_id", $"label")
     val bad = pairs
