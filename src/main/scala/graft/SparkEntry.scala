@@ -58,6 +58,18 @@ object SparkEntry {
       Dedup.minhashBuckets(s.read.parquet(s"$dir/documents.parquet"))),
     "q_simhash" -> ((s, dir) =>
       Dedup.simhashTable(s.read.parquet(s"$dir/documents.parquet"))),
+    // ---- near-dup PAIR detection (deterministic planted positives:
+    //      withPlantedDups derives edited/verbatim twins from the
+    //      read-only docs table, so each stage provably fires) ----
+    "q_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(
+      Dedup.withPlantedDups(s.read.parquet(s"$dir/documents.parquet"), 20), 0.6)),
+    "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(
+      Dedup.withPlantedDups(s.read.parquet(s"$dir/documents.parquet"), 20,
+        edit = false), 3)),
+    "q_jaccard_verify" -> ((s, dir) => Dedup.ngramJaccardPairs(
+      Dedup.withPlantedDups(s.read.parquet(s"$dir/documents.parquet"), 20), 0.5)),
+    "q_cosine_dup" -> ((s, dir) => Similarity.cosineDupPairsOf(
+      Similarity.withPlantedNearVecs(Similarity.loadEmbeddings(s, dir), 20), 0.99)),
     // ---- similarity search ----
     "q_embed_dims" -> ((s, dir) =>
       s.read.parquet(s"$dir/embeddings.parquet")

@@ -95,6 +95,24 @@ object Dedup {
 
   // ---- DataFrame-level operators -----------------------------------------
 
+  /** Derive a corpus with deterministic planted near-duplicates from a
+    * read-only documents table: every doc with doc_id < n gains a copy
+    * at doc_id + 1,000,000 — with its first token dropped when
+    * `edit` (a near-identical shingle set, est. Jaccard ≈ 0.97 on the
+    * ~100-token testdata docs), or verbatim when `!edit` (Hamming-0
+    * SimHash twin). Gives the driver-checked pair queries guaranteed
+    * positives without mutating the testdata, and is pure Catalyst
+    * (filter + union — no driver-side synthesis).
+    */
+  def withPlantedDups(docs: DataFrame, n: Int, edit: Boolean = true): DataFrame = {
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val copyText =
+      if (edit) regexp_replace(col("text"), "^\\S+\\s*", "") else col("text")
+    base.unionByName(
+      base.filter(col("doc_id") < n)
+        .select((col("doc_id") + 1000000L).as("doc_id"), copyText.as("text")))
+  }
+
   /** Exact dedup: md5-fingerprint groups, keep lowest doc_id as the
     * canonical representative (hash groupBy — one shuffle).
     */

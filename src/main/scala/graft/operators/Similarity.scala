@@ -30,11 +30,28 @@ object Similarity {
     */
   val DefaultDim = 64
 
-  private def loadEmb(spark: SparkSession, sfDir: String): DataFrame = {
+  /** (vec_id, vec: array<double>) view of the embeddings table. */
+  def loadEmbeddings(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("vec"))
   }
+
+  private def loadEmb(spark: SparkSession, sfDir: String): DataFrame =
+    loadEmbeddings(spark, sfDir)
+
+  /** Deterministic planted near-duplicate vectors: every vec_id < n
+    * gains a copy at vec_id + 1,000,000 nudged by 0.01·sin(i) per
+    * component — cosine ≈ 0.9999 vs the original, so threshold-based
+    * near-dup detection has guaranteed positives over the read-only
+    * testdata. Pure Catalyst (indexed transform + union).
+    */
+  def withPlantedNearVecs(emb: DataFrame, n: Int): DataFrame =
+    emb.unionByName(
+      emb.filter(col("vec_id") < n)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("vec"),
+            (x, i) => x + lit(0.01) * sin(i.cast("double"))).as("vec")))
 
   /** Exact brute-force cosine top-k: the (small) query set is broadcast
     * against the corpus; per-query top-k via window rank. Exact
@@ -191,9 +208,14 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs (bucketed; cos ≥ threshold). */
   def cosineDupPairs(spark: SparkSession, sfDir: String,
                      threshold: Double, bits: Int = 6,
-                     dim: Int = DefaultDim): DataFrame = {
+                     dim: Int = DefaultDim): DataFrame =
+    cosineDupPairsOf(loadEmb(spark, sfDir), threshold, bits, dim)
+
+  /** Same, over an explicit (vec_id, vec) DataFrame. */
+  def cosineDupPairsOf(emb: DataFrame, threshold: Double, bits: Int = 6,
+                       dim: Int = DefaultDim): DataFrame = {
+    val spark = emb.sparkSession
     import spark.implicits._
-    val emb = loadEmb(spark, sfDir)
     val b = emb.withColumn("bucket", lshBucket($"vec", dim, bits))
     b.as("l").join(b.as("r"),
       col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))

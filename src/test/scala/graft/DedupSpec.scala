@@ -62,6 +62,24 @@ class DedupSpec extends SparkSuite {
     assert(j.length === 1 && j(0).getDouble(0) === 1.0)
   }
 
+  test("withPlantedDups: every planted twin is recovered by each stage") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val wanted = (0L until 5L).map(i => Set(i.toString, (i + 1000000L).toString)).toSet
+
+    val mh = Dedup.minhashPairs(Dedup.withPlantedDups(real, 5), 0.6)
+      .collect().map(r => Set(r.getString(0), r.getString(1))).toSet
+    assert(wanted.subsetOf(mh), s"minhash missed ${wanted diff mh}")
+
+    val sh = Dedup.simhashPairs(Dedup.withPlantedDups(real, 5, edit = false), 3)
+      .filter($"hamming" === 0)
+      .collect().map(r => Set(r.getString(0), r.getString(1))).toSet
+    assert(wanted.subsetOf(sh), s"simhash missed ${wanted diff sh}")
+
+    val jc = Dedup.ngramJaccardPairs(Dedup.withPlantedDups(real, 5), 0.5)
+      .collect().map(r => Set(r.getString(0), r.getString(1))).toSet
+    assert(wanted.subsetOf(jc), s"jaccard missed ${wanted diff jc}")
+  }
+
   test("exact dedup groups identical normalized text") {
     val withDup = docs.withColumn("n_chars", length($"text"))
     val tmp = java.nio.file.Files.createTempDirectory("dedup").toString

@@ -70,6 +70,16 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.8, s"recall=$recall exact=$exact approx=$approx")
   }
 
+  test("planted near-vectors are found as cosine dup pairs") {
+    val emb = spark.read.parquet(s"$tmp/embeddings.parquet")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("vec"))
+    val pairs = Similarity.cosineDupPairsOf(
+        Similarity.withPlantedNearVecs(emb, 5), 0.999, bits = 4, dim = 8)
+      .collect().map(r => Set(r.getLong(0), r.getLong(1))).toSet
+    val wanted = (0L until 5L).map(i => Set(i, i + 1000000L)).toSet
+    assert(wanted.subsetOf(pairs), s"missed ${wanted diff pairs}")
+  }
+
   test("cosine near-dup pairs are same-cluster only") {
     val pairs = Similarity.cosineDupPairs(spark, tmp, 0.98, bits = 4, dim = 8)
     val emb = spark.read.parquet(s"$tmp/embeddings.parquet")
