@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SimpleMode
+
+/** Physical-plan regression guards: the scale properties BASELINE.md's
+  * plan-inspection protocol promises (single-scan aggregations, no
+  * accidental cartesian joins, broadcast dictionaries, parquet filter
+  * pushdown) are pinned here so a refactor cannot silently reintroduce
+  * a recompute or an all-pairs join. String-level assertions on the
+  * pre-execution plan (AQE reuse is runtime-only and is evidenced by
+  * tools/Explain `exec:` mode instead).
+  */
+class PlanSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(SimpleMode)
+
+  private def countOf(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("q_lu_rank executes a single documents scan (AQE exchange reuse)") {
+    // exchange reuse is decided at stage materialization, so execute
+    // first and assert on the FINAL adaptive plan, not the static one
+    val df = SparkEntry.queries("q_lu_rank")(spark, sf)
+    df.collect()
+    val whole = df.queryExecution.explainString(SimpleMode)
+    val finalPlan = whole.substring(0, math.max(whole.indexOf("Initial Plan"), 0) match {
+      case 0 => whole.length
+      case i => i
+    })
+    assert(finalPlan.contains("ReusedExchange"), whole)
+    assert(countOf(finalPlan, "Scan parquet") === 1, whole)
+  }
+
+  test("flagship pipeline: no cartesian/NLJ joins, dictionaries broadcast") {
+    val p = plan(Pipeline.triples(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // one corpus read feeds the whole text path; the semi-structured
+    // path reads the same table once more — never a third scan
+    assert(countOf(p, "Scan parquet") <= 2, p)
+  }
+
+  test("language filter is pushed down to the parquet scan") {
+    val p = SparkEntry.queries("q_filter_lang")(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"), p)
+  }
+
+  test("projection prunes the parquet read schema to selected columns") {
+    val df = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "lang")
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"), p)
+  }
+
+  test("near-dup candidate joins are equi-joins, not all-pairs") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    for (q <- Seq(Dedup.minhashPairs(docs, 0.6), Dedup.simhashPairs(docs, 3))) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin"), p)
+    }
+  }
+
+  test("brute-force ANN is the one sanctioned broadcast NLJ; LSH/IVF are not") {
+    import graft.operators.Similarity
+    val brute = plan(Similarity.bruteForceTopK(spark, sf, 5, 5))
+    assert(brute.contains("BroadcastNestedLoopJoin"), brute) // exact baseline, by design
+    val lsh = plan(Similarity.lshTopK(spark, sf, 5, 5))
+    assert(!lsh.contains("BroadcastNestedLoopJoin") && !lsh.contains("CartesianProduct"), lsh)
+  }
+
+  test("scalar text analysis stays inside whole-stage codegen") {
+    val p = SparkEntry.queries("q_quality")(spark, sf)
+      .queryExecution.explainString(SimpleMode)
+    assert(p.contains("*(1)"), p) // WholeStageCodegen id marker on the scan+project stage
+  }
+}
