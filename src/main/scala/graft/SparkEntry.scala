@@ -33,6 +33,7 @@ object SparkEntry {
     "q_agg_lineitem" -> ((s, dir) => Relational.aggLineitem(s, dir)),
     "q_join_broadcast" -> ((s, dir) => Relational.joinBroadcast(s, dir)),
     "q_join_salted" -> ((s, dir) => Relational.joinSalted(s, dir)),
+    "q_join_bucketed" -> ((s, dir) => Relational.bucketJoin(s, dir)),
     "q_anti_join" -> ((s, dir) => Relational.antiJoin(s, dir)),
     "q_semi_join" -> ((s, dir) => Relational.semiJoin(s, dir)),
     "q_window_rank" -> ((s, dir) => Relational.windowRank(s, dir)),
@@ -272,6 +273,11 @@ object SparkEntry {
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment""",
     "q_join_salted" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
+    "q_join_bucketed" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
          FROM orders JOIN customer ON o_custkey = c_custkey

@@ -37,6 +37,47 @@ object Relational {
         sum(round($"o_totalprice" * 100).cast("long")).as("sum_cents"))
   }
 
+  /** The same orders⋈customer aggregate over CO-LOCATED bucketed
+    * tables: both sides are written once with bucketBy(8, custkey) +
+    * sortBy, so the sort-merge join needs NO shuffle and NO sort — the
+    * scan itself satisfies the join's distribution + ordering. This is
+    * the 100 TB pattern for repeatedly-joined fact tables: the bucket
+    * layout is paid once at ingest, every later join on the bucket key
+    * is exchange-free (pinned by PlanSpec: exactly one Exchange in the
+    * whole query — the final groupBy — and zero under the join).
+    * Results must equal joinBroadcast (same oracle SQL).
+    */
+  def bucketJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_bucketed_$tag"
+    def ensure(name: String, df: DataFrame, key: String): String = {
+      val tbl = s"${name}_$tag"
+      if (!s.catalog.tableExists(tbl))
+        // one writer task per bucket (repartition on the bucket key
+        // with the bucket count, same murmur3 hash) -> ONE file per
+        // bucket. The join is then exchange-free; the residual
+        // per-bucket Sort stays because Spark 3+ no longer reports
+        // bucketed-scan sort order without the legacy flag
+        // (SPARK-28595) — it is partition-local and spill-safe.
+        df.repartition(8, col(key))
+          .write.mode("overwrite").format("parquet")
+          .option("path", s"$base/$name")
+          .bucketBy(8, key).sortBy(key)
+          .saveAsTable(tbl)
+      tbl
+    }
+    val o = ensure("orders_b", t(s, dir, "orders"), "o_custkey")
+    val c = ensure("customer_b", t(s, dir, "customer"), "c_custkey")
+    // merge hint: keep the small side out of a broadcast so the
+    // bucket-co-location (not dim size) is what elides the shuffle
+    s.table(o).hint("merge")
+      .join(s.table(c).hint("merge"), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round($"o_totalprice" * 100).cast("long")).as("sum_cents"))
+  }
+
   /** The same join through the salted shuffle-join path — must equal
     * joinBroadcast exactly (the oracle is the plain SQL join).
     */

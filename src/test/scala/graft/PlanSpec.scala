@@ -77,6 +77,22 @@ class PlanSpec extends SparkSuite {
     assert(!lsh.contains("BroadcastNestedLoopJoin") && !lsh.contains("CartesianProduct"), lsh)
   }
 
+  test("bucketed join is exchange-free under the join (co-location)") {
+    import graft.operators.Relational
+    val df = Relational.bucketJoin(spark, sf)
+    val p = plan(df)
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastExchange"), p)
+    // the ONLY shuffle is the final groupBy; the join reads bucketed
+    // scans directly (node lines print as "+- Exchange"/":- Exchange")
+    assert(countOf(p, "- Exchange") === 1, p)
+    assert(countOf(p, "Bucketed: true") === 2, p)
+    // and the result equals the broadcast-join shape on the same data
+    val a = df.collect().map(_.toSeq).sortBy(_.mkString)
+    val b = Relational.joinBroadcast(spark, sf).collect().map(_.toSeq).sortBy(_.mkString)
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("scalar text analysis stays inside whole-stage codegen") {
     val p = SparkEntry.queries("q_quality")(spark, sf)
       .queryExecution.explainString(SimpleMode)
