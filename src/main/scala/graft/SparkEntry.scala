@@ -88,6 +88,19 @@ object SparkEntry {
     "pipe_conf_pctl" -> ((s, dir) => Misc.confidencePctl(Pipeline.triples(s, dir))),
     // ---- multimodal (stub decode; real plumbing) ----
     "q_media_stats" -> ((s, dir) => Multimodal.mediaStats(Corpus.spansTable(s, dir))),
+    "q_media_frames" -> ((s, dir) =>
+      Multimodal.frameSample(Multimodal.mediaMeta(Corpus.spansTable(s, dir)), 30)
+        .groupBy(col("media_ref"), col("n_frames"))
+        .agg(count(lit(1)).as("n_sampled"), max(col("ts_ms")).as("last_ts_ms"))),
+    "q_media_resize" -> ((s, dir) =>
+      Multimodal.resizePlan(Multimodal.mediaMeta(Corpus.spansTable(s, dir)), 512)),
+    "q_media_feats" -> ((s, dir) =>
+      Multimodal.mediaFeatures(Multimodal.mediaMeta(Corpus.spansTable(s, dir)))
+        .groupBy(col("format"))
+        .agg(count(lit(1)).as("n_media"),
+          round(sum(aggregate(col("feat"), lit(0.0), (a, x) => a + x * x)), 6)
+            .as("sum_sq_norm"),
+          round(avg(element_at(col("feat"), 1)), 6).as("avg_c0"))),
     // ---- KG pipeline (golden-fixture-pinned; rows-only here) ----
     "pipe_scan_docs" -> ((s, dir) =>
       Corpus.spansTable(s, dir).toDF()

@@ -57,6 +57,56 @@ object Multimodal {
     }
   }
 
+  /** Frame-sampling plan for multi-frame media: every `everyN`th frame
+    * index (always including frame 0) as one work-unit row. Pure
+    * Catalyst (`explode(sequence(...))`) — at scale the sampling
+    * decision happens on METADATA, before any pixel decode, so the
+    * decoder fleet receives exactly the (media_ref, frame_idx) units
+    * it must touch and nothing else. ts_ms uses the stub 25 fps
+    * timebase.
+    */
+  def frameSample(meta: Dataset[MediaMeta], everyN: Int): DataFrame =
+    meta.toDF()
+      .filter(col("n_frames") > 1)
+      .select(col("doc_id"), col("media_ref"), col("format"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(everyN))).as("frame_idx"))
+      .withColumn("ts_ms", col("frame_idx") * lit(40))
+
+  /** Aspect-preserving resize plan: target geometry is pure arithmetic
+    * over decoded metadata (never upscale). The actual pixel resample
+    * belongs to the same batched decoder stage as stubDecode — this op
+    * only plans it, which is all the cluster-side query has to do.
+    */
+  def resizePlan(meta: Dataset[MediaMeta], maxDim: Int): DataFrame = {
+    val scale = least(
+      lit(maxDim.toDouble) / col("width"),
+      lit(maxDim.toDouble) / col("height"),
+      lit(1.0))
+    meta.toDF().select(col("media_ref"), col("format"),
+      col("width"), col("height"),
+      ceil(col("width") * scale).cast("int").as("out_w"),
+      ceil(col("height") * scale).cast("int").as("out_h"))
+  }
+
+  /** STUB media feature extractor: deterministic fake k-dim embedding
+    * from the media_ref hash, produced in the mapPartitions batch shape
+    * a real (CLIP-ish) extractor uses — model setup once per partition,
+    * then batched inference over the iterator. Swap the inner function
+    * for a real encoder without touching the plan.
+    */
+  def mediaFeatures(meta: Dataset[MediaMeta], k: Int = 8): DataFrame = {
+    import meta.sparkSession.implicits._
+    meta.mapPartitions { it =>
+      // real encoder weights would load once per partition here
+      it.map { m =>
+        val h = Det.hashStr(m.media_ref)
+        val feat = Array.tabulate(k)(j =>
+          (Det.bounded(Det.mix(h, j.toLong), 2001) - 1000) / 1000.0)
+        (m.doc_id, m.media_ref, m.format, feat)
+      }
+    }.toDF("doc_id", "media_ref", "format", "feat")
+  }
+
   /** Per-format media stats (the aggregation a curation pipeline runs). */
   def mediaStats(docs: Dataset[Doc]): DataFrame = {
     mediaMeta(docs).groupBy(col("format"))

@@ -32,7 +32,8 @@ object OracleGen {
     "pipe_span_invariant", "pipe_dedup_global",
     "q_langid", "q_rolling_fp", "q_simhash", "q_minhash_buckets",
     "q_minhash_pairs", "q_simhash_pairs", "q_jaccard_verify", "q_cosine_dup",
-    "q_ann_brute", "q_ann_lsh", "q_ann_ivf", "q_media_stats")
+    "q_ann_brute", "q_ann_lsh", "q_ann_ivf",
+    "q_media_stats", "q_media_frames", "q_media_resize", "q_media_feats")
 
   def duckType(dt: DataType): String = dt match {
     case IntegerType => "INTEGER"
