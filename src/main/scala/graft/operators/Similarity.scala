@@ -9,19 +9,19 @@ import org.apache.spark.sql.functions._
   * brute-force cosine top-k as the exact baseline, and a
   * random-hyperplane-LSH bucketed variant as the scale path (probe
   * only same-bucket candidates — candidate count drops ~2^bits-fold).
-  * Dot products are pure Catalyst higher-order functions
-  * (zip_with + aggregate) — codegen'd, no UDF.
+  * Dot products / norms / distances are native codegen'd Catalyst
+  * expressions (graft.functions.VectorOps) — the HOF formulation
+  * (zip_with + aggregate) is CodegenFallback and ran interpreted.
   */
 object Similarity {
 
-  /** Cosine similarity of two array<float/double> columns. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v * v))
-    when(na === 0.0 || nb === 0.0, 0.0).otherwise(dot / (na * nb))
-  }
+  /** Cosine similarity of two array<double> columns — the native
+    * codegen'd expression (graft.functions.CosineSim): one fused loop
+    * per row instead of three CodegenFallback higher-order functions,
+    * bit-identical accumulation order to the HOF formulation.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorOps.vec_cosine(a, b)
 
   /** Embedding dimensionality of the testdata `embeddings` table. The
     * array element count is not part of the parquet schema, so the dim
@@ -83,9 +83,7 @@ object Similarity {
       val signs = (0 until dim).map { j =>
         if ((Det.mix((table * bits + b).toLong, j.toLong) & 1L) == 1L) 1.0 else -1.0
       }
-      val proj = aggregate(
-        zip_with(vec, typedlit(signs), (x, s) => x * s),
-        lit(0.0), (acc, v) => acc + v)
+      val proj = graft.functions.VectorOps.vec_dot(vec, typedlit(signs))
       when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
     }
     bitCols.reduce((a, b) => a + b) + lit(table.toLong << bits)
@@ -161,8 +159,7 @@ object Similarity {
     */
   def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column = {
     val cells = centroids.zipWithIndex.map { case (c, i) =>
-      val d = aggregate(zip_with(vec, typedlit(c.toSeq), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v)
+      val d = graft.functions.VectorOps.vec_l2sq(vec, typedlit(c.toSeq))
       struct(d.as("dist"), lit(i).as("id"))
     }
     element_at(array_sort(array(cells: _*)), 1).getField("id")
@@ -184,8 +181,7 @@ object Similarity {
     // nprobe nearest cell ids per query vector, as an array column
     def probeCells(vec: Column): Column = {
       val cells = cents.zip(ids).map { case (c, i) =>
-        val d = aggregate(zip_with(vec, typedlit(c.toSeq), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, v) => acc + v)
+        val d = graft.functions.VectorOps.vec_l2sq(vec, typedlit(c.toSeq))
         struct(d.as("dist"), lit(i).as("id"))
       }
       slice(transform(array_sort(array(cells: _*)), s => s.getField("id")), 1, nprobe)
