@@ -3,9 +3,9 @@ package graft.streaming
 import graft.model._
 import graft.operators.{Classification, Extraction, Linking, Serialize}
 import graft.sources.Corpus
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured-Streaming surface (SURVEY.md §2.8): the classify+link+
   * serialize chain is stateless per document, so it lifts directly to
@@ -60,6 +60,41 @@ object Streaming {
       .start()
     q.awaitTermination()
     spark.read.parquet(outDir).count()
+  }
+
+  /** One span of a document arriving as a stream event; `last` marks
+    * the document's final span (end-of-document signal).
+    */
+  case class SpanEvent(doc_id: String, kind: String, text: String,
+                       media_ref: String, offset: Int, last: Boolean)
+
+  /** CUSTOM-STATE streaming op: assemble interleaved documents from
+    * span events that may arrive split across micro-batches.
+    * `flatMapGroupsWithState` keyed by doc_id buffers spans in
+    * `GroupState[Seq[Span]]`; when the end-of-document marker arrives
+    * the full Doc row is emitted (spans in offset order — the
+    * span-sequence invariant holds by construction) and the state is
+    * dropped. The streaming twin of `Corpus.spansTable`'s batch
+    * synthesis: at scale this is how a 10^12-doc corpus ingests from a
+    * feed without requiring whole documents per event.
+    */
+  def assembleDocs(events: Dataset[SpanEvent]): Dataset[Doc] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.doc_id)
+      .flatMapGroupsWithState[Seq[Span], Doc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (docId: String, it: Iterator[SpanEvent], state: GroupState[Seq[Span]]) =>
+          val arrived = it.toSeq
+          val spans = state.getOption.getOrElse(Seq.empty) ++
+            arrived.map(e => Span(e.kind, e.text, e.media_ref, e.offset))
+          if (arrived.exists(_.last)) {
+            state.remove()
+            Iterator.single(Doc(docId, spans.sortBy(_.offset)))
+          } else {
+            state.update(spans)
+            Iterator.empty
+          }
+      }
   }
 
   /** Windowed event-stream aggregation with watermark over the testdata

@@ -26,6 +26,46 @@ class StreamingSpec extends SparkSuite {
     assert(streamed === batch)
   }
 
+  test("flatMapGroupsWithState assembles docs from spans split across batches") {
+    import graft.model.{Doc, Span}
+    import graft.streaming.Streaming.SpanEvent
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[SpanEvent]
+    val q = Streaming.assembleDocs(src.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("assembled_docs").start()
+
+    // batch 1: docB complete; docA only half-arrived
+    src.addData(
+      SpanEvent("docA", "text", "Alice was born.", null, 0, last = false),
+      SpanEvent("docB", "text", "Bob died.", null, 0, last = false),
+      SpanEvent("docB", "media", null, "media://img/b", 1, last = true))
+    q.processAllAvailable()
+    val after1 = spark.table("assembled_docs").as[Doc].collect()
+    assert(after1.map(_.doc_id).toSet === Set("docB"))
+
+    // batch 2: docA's remaining spans arrive (out of order) + terminator
+    src.addData(
+      SpanEvent("docA", "media", null, "media://img/a", 2, last = false),
+      SpanEvent("docA", "text", "She lived here.", null, 1, last = true))
+    q.processAllAvailable()
+    q.stop()
+
+    val docs = spark.table("assembled_docs").as[Doc].collect()
+      .map(d => d.doc_id -> d.spans).toMap
+    assert(docs.keySet === Set("docA", "docB"))
+    // span-sequence invariant: offset order, nothing dropped/reordered
+    assert(docs("docA") === Seq(
+      Span("text", "Alice was born.", null, 0),
+      Span("text", "She lived here.", null, 1),
+      Span("media", null, "media://img/a", 2)))
+    assert(docs("docB") === Seq(
+      Span("text", "Bob died.", null, 0),
+      Span("media", null, "media://img/b", 1)))
+  }
+
   test("watermarked window aggregation over the events stream") {
     val out = Streaming.eventWindowCounts(spark, "/root/testdata/sf0.001")
     assert(out.count() > 0)
