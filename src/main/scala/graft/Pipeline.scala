@@ -75,6 +75,15 @@ object Pipeline {
     * rejects (no subject, unfilled core FE) ∪ serializer-stage rejects
     * (bad date/quantity, unlinked item/subject) — nothing in the
     * pipeline is dropped silently; recall loss per reason is queryable.
+    *
+    * Note on the two classify traversals: this DIAGNOSTICS query runs
+    * the classifier once for the reject stream and once for the kept
+    * stream. The serializer-stage keep/reject split is already
+    * single-pass (linkedStatements carries a reject_reason column); a
+    * production run wanting classification rejects too writes the
+    * combined classifyFull output to a table once and filters both
+    * streams from the committed read — the same write-then-derive
+    * shape Checkpoint.runStage uses.
     */
   def rejected(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = docsFor(spark, sfDir)
