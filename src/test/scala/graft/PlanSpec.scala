@@ -93,6 +93,19 @@ class PlanSpec extends SparkSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("ANN top-k gets the WindowGroupLimit partial pushdown") {
+    // rank-limit pushdown (SPARK-37099) map-side-limits each partition
+    // to k rows per query BEFORE the shuffle — Spark's built-in answer
+    // to a bounded-heap top-k aggregate, and the reason SURVEY §4's
+    // "no custom Rule/Strategy needed" holds for the ANN operators
+    import graft.operators.Similarity
+    for (df <- Seq(Similarity.bruteForceTopK(spark, sf, 5, 5),
+                   Similarity.lshTopK(spark, sf, 5, 5))) {
+      val p = plan(df)
+      assert(p.contains("WindowGroupLimit"), p)
+    }
+  }
+
   test("scalar text analysis stays inside whole-stage codegen") {
     val p = SparkEntry.queries("q_quality")(spark, sf)
       .queryExecution.explainString(SimpleMode)
