@@ -35,6 +35,7 @@ object SparkEntry {
     "q_join_salted" -> ((s, dir) => Relational.joinSalted(s, dir)),
     "q_join_bucketed" -> ((s, dir) => Relational.bucketJoin(s, dir)),
     "q_anti_join" -> ((s, dir) => Relational.antiJoin(s, dir)),
+    "q_join_outer" -> ((s, dir) => Relational.joinOuter(s, dir)),
     "q_semi_join" -> ((s, dir) => Relational.semiJoin(s, dir)),
     "q_window_rank" -> ((s, dir) => Relational.windowRank(s, dir)),
     "q_window_frame" -> ((s, dir) => Relational.windowFrame(s, dir)),
@@ -49,6 +50,12 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
     "q_rolling_fp" -> ((s, dir) => TextAnalysis.rollingFingerprint(s, dir)),
     "q_langid" -> ((s, dir) => TextAnalysis.langIdTable(s, dir)),
+    "q_sample_stratified" -> ((s, dir) =>
+      TextAnalysis.stratifiedSample(
+        s.read.parquet(s"$dir/documents.parquet"),
+        Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_doc"))),
     "q_filter_lang" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
         .filter(col("lang") === "en")
@@ -298,6 +305,13 @@ object SparkEntry {
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)""",
+    "q_join_outer" ->
+      """WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_customers FROM customer GROUP BY 1),
+              s AS (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers FROM supplier GROUP BY 1)
+         SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+                CAST(coalesce(n_customers, 0) AS BIGINT) AS n_customers,
+                CAST(coalesce(n_suppliers, 0) AS BIGINT) AS n_suppliers
+         FROM c FULL JOIN s ON c.nationkey = s.nationkey""",
     "q_semi_join" ->
       """SELECT s_nationkey, count(*) AS n_suppliers FROM supplier
          WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)

@@ -92,6 +92,21 @@ object Relational {
   }
 
   /** Anti join: customers with no high-value (>300k) order. */
+  /** Full-outer join coverage: per-nation customer/supplier counts —
+    * nations may lack either side, so both null-sides must survive.
+    */
+  def joinOuter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = t(s, dir, "customer").groupBy($"c_nationkey".as("nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+    val sup = t(s, dir, "supplier").groupBy($"s_nationkey".as("nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    c.join(sup, Seq("nationkey"), "full_outer")
+      .select($"nationkey",
+        coalesce($"n_customers", lit(0L)).as("n_customers"),
+        coalesce($"n_suppliers", lit(0L)).as("n_suppliers"))
+  }
+
   def antiJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "customer")

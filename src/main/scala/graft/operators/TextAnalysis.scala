@@ -64,6 +64,23 @@ object TextAnalysis {
   }
 
   /** Token counts: whitespace tokens + a BPE-ish regex piece count. */
+  /** Reproducible stratified corpus sampling WITHOUT rand(): a row is
+    * kept iff pmod(xxhash64(doc_id, salt), 10000) < rate(lang)·10000.
+    * Spark's sample()/sampleBy() draw Bernoulli variates from
+    * rand(seed), whose stream depends on partition layout — resample a
+    * 100 TB corpus after a repartition and you get a different subset.
+    * Here the keep decision is a pure function of the row: identical
+    * at any parallelism, resumable mid-job, auditable after the fact,
+    * and pushdown-friendly (a deterministic filter over the scan).
+    */
+  def stratifiedSample(docs: DataFrame, rates: Map[String, Double],
+                       salt: Int = 42): DataFrame = {
+    val rate = rates.foldLeft(lit(0.0)) { case (acc, (lang, r)) =>
+      when(col("lang") === lang, lit(r)).otherwise(acc)
+    }
+    docs.filter(pmod(xxhash64(col("doc_id"), lit(salt)), lit(10000)) < rate * 10000)
+  }
+
   def tokenCounts(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     spark.read.parquet(s"$sfDir/documents.parquet")

@@ -30,7 +30,8 @@ object OracleGen {
     "pipe_checkpoint", "pipe_conf_pctl", "pipe_eval", "pipe_frame_freq",
     "pipe_norm_date", "pipe_norm_quantity", "pipe_rejected", "pipe_sink",
     "pipe_span_invariant", "pipe_dedup_global",
-    "q_langid", "q_rolling_fp", "q_simhash", "q_minhash_buckets",
+    "q_langid", "q_rolling_fp", "q_sample_stratified",
+    "q_simhash", "q_minhash_buckets",
     "q_minhash_pairs", "q_simhash_pairs", "q_jaccard_verify", "q_cosine_dup",
     "q_ann_brute", "q_ann_lsh", "q_ann_ivf",
     "q_media_stats", "q_media_frames", "q_media_resize", "q_media_feats")

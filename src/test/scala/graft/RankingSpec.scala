@@ -76,6 +76,27 @@ class RankingSpec extends SparkSuite {
       s"text='${row.getString(0)}'"))
   }
 
+  test("stratified sample is a pure row function: layout-independent") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rates = Map("en" -> 0.5, "de" -> 0.25)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.stratifiedSample(df, rates)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = ids(docs)
+    val b = ids(docs.repartition(7, $"lang")) // different layout, same rows
+    assert(a === b && a.nonEmpty)
+    // kept rows are only from sampled strata, at roughly the rates
+    val kept = TextAnalysis.stratifiedSample(docs, rates)
+      .groupBy($"lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.keySet.subsetOf(rates.keySet))
+    val total = docs.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((lang, rate) <- rates; n <- kept.get(lang)) {
+      val frac = n.toDouble / total(lang)
+      assert(math.abs(frac - rate) < 0.15, s"$lang: $frac vs $rate")
+    }
+  }
+
   test("salted join equals plain broadcast join (testdata)") {
     val dir = "/root/testdata/sf0.001"
     def canon(df: org.apache.spark.sql.DataFrame) =
