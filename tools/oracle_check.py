@@ -1,25 +1,24 @@
 #!/usr/bin/env python3
-"""Local stand-in for the driver's DuckDB oracle compare.
+"""Local stand-in for the driver's DuckDB oracle compare — STRICT mode.
 
 Usage: oracle_check.py <sfDir> <verifyOutDir>
 Reads <verifyOutDir>/oracle_sql.json, registers <sfDir>/*.parquet as
 views named by table, runs each SQL, and compares against the Spark
-parquet dump in <verifyOutDir>/<key>/ — columns sorted by name, rows
-sorted, values stringified.
+parquet dump in <verifyOutDir>/<key>/:
+  1. column names (sorted),
+  2. pandas dtypes — this is what the driver's hash compare is
+     sensitive to (round-1 failure class: DuckDB sum(BIGINT) returns
+     HUGEINT, which pandas coerces to float64, diverging from Spark's
+     int64 even when values are equal),
+  3. row count,
+  4. stringified values after a deterministic multi-column sort.
 """
-import sys, json, glob, os
+import sys, json, os
 import duckdb
-import pyarrow.parquet as pq
+import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        out.append(tuple(str(r[i]) for i in order))
-    out.sort()
-    return [c for c in sorted(cols)], out
 
 def main(sfdir, outdir):
     con = duckdb.connect()
@@ -30,29 +29,37 @@ def main(sfdir, outdir):
     sqls = json.load(open(f"{outdir}/oracle_sql.json"))
     fails = 0
     for k, sql in sorted(sqls.items()):
-        files = glob.glob(f"{outdir}/{k}/*.parquet")
-        if not files:
-            print(f"{k}: MISSING spark result"); fails += 1; continue
-        st = pq.read_table(files[0])
-        scols = st.column_names
-        srows = [tuple(row) for row in zip(*[st.column(c).to_pylist() for c in scols])] if st.num_rows else []
         try:
-            res = con.execute(sql)
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            s = pd.read_parquet(f"{outdir}/{k}")  # reads ALL part files
+        except Exception as e:
+            print(f"{k}: MISSING spark result ({e})"); fails += 1; continue
+        try:
+            o = con.execute(sql).fetchdf()
         except Exception as e:
             print(f"{k}: DUCKDB ERROR {e}"); fails += 1; continue
-        sc, sr = canon(srows, scols)
-        dc, dr = canon(drows, dcols)
-        if sc != dc:
-            print(f"{k}: SCHEMA MISMATCH spark={sc} duck={dc}"); fails += 1; continue
-        if len(sr) != len(dr):
-            print(f"{k}: ROWS {len(sr)} vs {len(dr)}"); fails += 1; continue
-        if sr != dr:
-            bad = [i for i, (a, b) in enumerate(zip(sr, dr)) if a != b][:3]
-            print(f"{k}: HASH MISMATCH e.g. rows {[(sr[i], dr[i]) for i in bad]}"); fails += 1; continue
-        print(f"{k}: OK ({len(sr)} rows)")
+        cols = sorted(s.columns)
+        if sorted(o.columns) != cols:
+            print(f"{k}: SCHEMA MISMATCH spark={cols} duck={sorted(o.columns)}")
+            fails += 1; continue
+        s = s[cols].sort_values(cols).reset_index(drop=True)
+        o = o[cols].sort_values(cols).reset_index(drop=True)
+        ds, do = [str(x) for x in s.dtypes], [str(x) for x in o.dtypes]
+        if ds != do:
+            print(f"{k}: DTYPE MISMATCH spark={ds} duck={do} "
+                  f"(add explicit CASTs to the oracle SQL)")
+            fails += 1; continue
+        if len(s) != len(o):
+            print(f"{k}: ROWS {len(s)} vs {len(o)}"); fails += 1; continue
+        neq = (s.astype(str) != o.astype(str)).any(axis=1)
+        if neq.any():
+            i = neq.idxmax()
+            print(f"{k}: VALUE MISMATCH e.g. row {i}: "
+                  f"spark={s.iloc[i].tolist()} duck={o.iloc[i].tolist()}")
+            fails += 1; continue
+        print(f"{k}: OK ({len(s)} rows)")
+    print(f"[oracle_check] {len(sqls) - fails}/{len(sqls)} strict-equal")
     sys.exit(1 if fails else 0)
+
 
 if __name__ == "__main__":
     main(sys.argv[1], sys.argv[2])
