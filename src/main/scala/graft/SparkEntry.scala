@@ -89,6 +89,27 @@ object SparkEntry {
     // ---- misc scalar / stats ops (SURVEY §2.2-2.5) ----
     "q_clean_text" -> ((s, dir) => Misc.cleanDocs(s, dir)),
     "q_distinct_docs" -> ((s, dir) => Misc.distinctDocs(s, dir)),
+    // HLL++ sketch (order/partition-independent -> deterministic):
+    // the approximate-distinct path a 100 TB metrics rollup uses where
+    // exact countDistinct would shuffle every key
+    "q_hll_distinct" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .groupBy(col("lang"))
+        .agg(approx_count_distinct(col("doc_id")).as("approx_docs"),
+          approx_count_distinct(col("source"), 0.02).as("approx_sources"),
+          countDistinct(col("doc_id")).as("exact_docs"))),
+    // sessionization: gap-based session windows over the events stream
+    // (the grouping a behavioral-data pipeline runs); oracle = the
+    // lag/cumsum SQL formulation of the same 6h-gap rule
+    "q_sessionize" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .groupBy(col("user_id"), session_window(col("ts"), "6 hours"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          max(col("n_events")).as("max_session_events"),
+          sum(col("n_events")).as("n_events"))),
     "pipe_frame_freq" -> ((s, dir) => Misc.frameFreq(s, dir)),
     "pipe_norm_date" -> ((s, _) => Misc.normDateTable(s)),
     "pipe_norm_quantity" -> ((s, _) => Misc.normQuantityTable(s)),
@@ -316,6 +337,23 @@ object SparkEntry {
       """SELECT s_nationkey, count(*) AS n_suppliers FROM supplier
          WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
          GROUP BY s_nationkey""",
+    "q_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 6 HOUR THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (
+           SELECT user_id,
+                  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM e),
+         g AS (SELECT user_id, sid, count(*) AS n_events FROM s GROUP BY user_id, sid)
+         SELECT user_id, count(*) AS n_sessions,
+                CAST(max(n_events) AS BIGINT) AS max_session_events,
+                CAST(sum(n_events) AS BIGINT) AS n_events
+         FROM g GROUP BY user_id""",
     "q_window_rank" ->
       """SELECT user_id, event_id, event_type, value FROM (
            SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn

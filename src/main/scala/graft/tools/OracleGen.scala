@@ -30,7 +30,7 @@ object OracleGen {
     "pipe_checkpoint", "pipe_conf_pctl", "pipe_eval", "pipe_frame_freq",
     "pipe_norm_date", "pipe_norm_quantity", "pipe_rejected", "pipe_sink",
     "pipe_span_invariant", "pipe_dedup_global",
-    "q_langid", "q_rolling_fp", "q_sample_stratified",
+    "q_langid", "q_rolling_fp", "q_sample_stratified", "q_hll_distinct",
     "q_simhash", "q_minhash_buckets",
     "q_minhash_pairs", "q_simhash_pairs", "q_jaccard_verify", "q_cosine_dup",
     "q_ann_brute", "q_ann_lsh", "q_ann_ivf",
