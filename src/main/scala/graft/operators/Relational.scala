@@ -53,7 +53,12 @@ object Relational {
     val base = s"${sys.props("java.io.tmpdir")}/graft_bucketed_$tag"
     def ensure(name: String, df: DataFrame, key: String): String = {
       val tbl = s"${name}_$tag"
-      if (!s.catalog.tableExists(tbl))
+      // the catalog entry alone is not proof the data survived — the
+      // external table lives in tmpdir, which can be reaped under a
+      // long-lived session; re-write unless the committed marker exists
+      val dataOk = java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$base/$name", "_SUCCESS"))
+      if (!s.catalog.tableExists(tbl) || !dataOk)
         // one writer task per bucket (repartition on the bucket key
         // with the bucket count, same murmur3 hash) -> ONE file per
         // bucket. The join is then exchange-free; the residual

@@ -139,31 +139,46 @@ object Similarity {
       .orderBy($"vec_id")
       .collect()
       .map(r => r.getSeq[Double](1).toArray)
-    // one Lloyd refinement: assign all vectors to the nearest seed,
-    // take per-cell means (single distributed agg, no iteration loop)
-    val means = (0 until dim).map(j => avg(element_at($"vec", j + 1)).as(s"c$j"))
+    // One Lloyd refinement: assign all vectors to the nearest seed,
+    // take per-cell means (single distributed agg, no iteration loop).
+    // Means are computed from FIXED-POINT integer sums (x·10⁹ as long):
+    // a double avg()'s partial-sum merge order is randomized by the
+    // shuffle, so its low bits — and through argmin, a near-tied cell
+    // assignment — could vary between runs once the input has >1
+    // split; integer addition is order-independent, keeping the index
+    // build bit-deterministic at any parallelism.
+    val sums = (0 until dim).map(j =>
+      sum((element_at($"vec", j + 1) * 1e9).cast("long")).as(s"s$j"))
     val assigned = emb
       .withColumn("cid", nearestCentroid($"vec", seeds))
       .groupBy($"cid")
-      .agg(means.head, means.tail: _*)
+      .agg(count(lit(1)).as("n"), sums: _*)
       .collect()
     // sorted by cell id: downstream positional indices must be stable
-    assigned.map(r => (r.getInt(0),
-      (0 until dim).map(j => r.getDouble(j + 1)).toArray))
-      .sortBy(_._1)
+    assigned.map { r =>
+      val n = r.getLong(1).toDouble
+      (r.getInt(0), (0 until dim).map(j => r.getLong(j + 2) / 1e9 / n).toArray)
+    }.sortBy(_._1)
   }
 
-  /** Nearest-centroid id of a vector (argmin squared L2 over the
-    * broadcast-literal centroid table; pure Catalyst — array_sort on
-    * (dist, id) structs, deterministic tie-break on id).
+  /** Centroid ids of a vector ordered by ascending squared-L2 distance
+    * (broadcast-literal centroid table; pure Catalyst — array_sort on
+    * (dist, id) structs, deterministic tie-break on id). The ONE
+    * distance/tie-break definition both cell assignment and query
+    * probing share — they must never diverge.
     */
-  def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column = {
-    val cells = centroids.zipWithIndex.map { case (c, i) =>
+  private def centroidsByDistance(vec: Column, centroids: Array[Array[Double]],
+                                  ids: Array[Int]): Column = {
+    val cells = centroids.zip(ids).map { case (c, i) =>
       val d = graft.functions.VectorOps.vec_l2sq(vec, typedlit(c.toSeq))
       struct(d.as("dist"), lit(i).as("id"))
     }
-    element_at(array_sort(array(cells: _*)), 1).getField("id")
+    transform(array_sort(array(cells: _*)), s => s.getField("id"))
   }
+
+  /** Nearest-centroid id of a vector. */
+  def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    element_at(centroidsByDistance(vec, centroids, centroids.indices.toArray), 1)
 
   /** IVF ANN top-k: corpus vectors live in their nearest-centroid cell;
     * each query probes its `nprobe` nearest cells (explode — candidates
@@ -178,14 +193,10 @@ object Similarity {
     val emb = loadEmb(spark, sfDir)
     val cents = centroids.map(_._2)
     val ids = centroids.map(_._1)
-    // nprobe nearest cell ids per query vector, as an array column
-    def probeCells(vec: Column): Column = {
-      val cells = cents.zip(ids).map { case (c, i) =>
-        val d = graft.functions.VectorOps.vec_l2sq(vec, typedlit(c.toSeq))
-        struct(d.as("dist"), lit(i).as("id"))
-      }
-      slice(transform(array_sort(array(cells: _*)), s => s.getField("id")), 1, nprobe)
-    }
+    // nprobe nearest cell ids per query vector, as an array column —
+    // same distance/tie-break definition as the corpus cell assignment
+    def probeCells(vec: Column): Column =
+      slice(centroidsByDistance(vec, cents, ids), 1, nprobe)
     val corpus = emb.withColumn("cell", nearestCentroid($"vec", cents))
       .withColumn("cell", element_at(typedlit(ids.toSeq), $"cell" + 1))
     val queries = emb.filter($"vec_id" < nQueries)

@@ -78,23 +78,49 @@ object Streaming {
     * synthesis: at scale this is how a 10^12-doc corpus ingests from a
     * feed without requiring whole documents per event.
     */
-  def assembleDocs(events: Dataset[SpanEvent]): Dataset[Doc] = {
-    import events.sparkSession.implicits._
-    events.groupByKey(_.doc_id)
-      .flatMapGroupsWithState[Seq[Span], Doc](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (docId: String, it: Iterator[SpanEvent], state: GroupState[Seq[Span]]) =>
-          val arrived = it.toSeq
-          val spans = state.getOption.getOrElse(Seq.empty) ++
-            arrived.map(e => Span(e.kind, e.text, e.media_ref, e.offset))
-          if (arrived.exists(_.last)) {
-            state.remove()
-            Iterator.single(Doc(docId, spans.sortBy(_.offset)))
-          } else {
-            state.update(spans)
-            Iterator.empty
-          }
+  /** Per-group state transition of assembleDocs, exposed for direct
+    * unit testing with `TestGroupState`. On timeout (terminator lost /
+    * reordered past the stale window) the PARTIAL doc is emitted and
+    * the state dropped — neither unbounded state growth nor silent
+    * document loss at 10^12-doc feed scale.
+    */
+  def assembleGroup(staleTimeoutMs: Long)(
+      docId: String, it: Iterator[SpanEvent],
+      state: GroupState[Seq[Span]]): Iterator[Doc] =
+    if (state.hasTimedOut) {
+      val partial = state.getOption.getOrElse(Seq.empty)
+      state.remove()
+      if (partial.isEmpty) Iterator.empty
+      else Iterator.single(Doc(docId, partial.sortBy(_.offset)))
+    } else {
+      val arrived = it.toSeq
+      val spans = state.getOption.getOrElse(Seq.empty) ++
+        arrived.map(e => Span(e.kind, e.text, e.media_ref, e.offset))
+      if (arrived.exists(_.last)) {
+        state.remove()
+        Iterator.single(Doc(docId, spans.sortBy(_.offset)))
+      } else {
+        state.update(spans)
+        if (staleTimeoutMs > 0) state.setTimeoutDuration(staleTimeoutMs)
+        Iterator.empty
       }
+    }
+
+  /** staleTimeoutMs > 0 arms a processing-time timeout that evicts
+    * stale buffers through `assembleGroup`'s timeout branch (the
+    * production setting — processing-time timeouts make the engine run
+    * periodic no-data batches to fire them); 0 disables eviction and
+    * keeps the query quiescent between data batches.
+    */
+  def assembleDocs(events: Dataset[SpanEvent],
+                   staleTimeoutMs: Long = 0L): Dataset[Doc] = {
+    import events.sparkSession.implicits._
+    val conf =
+      if (staleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events.groupByKey(_.doc_id)
+      .flatMapGroupsWithState[Seq[Span], Doc](OutputMode.Append(), conf)(
+        assembleGroup(staleTimeoutMs))
   }
 
   /** Windowed event-stream aggregation with watermark over the testdata

@@ -66,6 +66,37 @@ class StreamingSpec extends SparkSuite {
       Span("media", null, "media://img/b", 1)))
   }
 
+  test("assembleGroup timeout branch: partial doc emitted, state evicted") {
+    import graft.model.{Doc, Span}
+    import graft.streaming.Streaming.SpanEvent
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+
+    // arrival batch with no terminator: state buffered, timeout armed
+    val s1 = TestGroupState.create[Seq[Span]](
+      org.apache.spark.api.java.Optional.empty[Seq[Span]](), GroupStateTimeout.ProcessingTimeTimeout(),
+      1000L, org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    val out1 = Streaming.assembleGroup(60000L)("docX",
+      Iterator(SpanEvent("docX", "text", "Orphan span.", null, 0, last = false)), s1)
+    assert(out1.isEmpty)
+    assert(s1.exists && s1.get === Seq(Span("text", "Orphan span.", null, 0)))
+    assert(s1.getTimeoutTimestampMs.isPresent)
+
+    // timeout fires (terminator lost): partial doc out, state removed
+    val s2 = TestGroupState.create[Seq[Span]](
+      org.apache.spark.api.java.Optional.of(Seq(Span("text", "Orphan span.", null, 0))),
+      GroupStateTimeout.ProcessingTimeTimeout(),
+      1000L, org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = true)
+    val out2 = Streaming.assembleGroup(60000L)("docX", Iterator.empty, s2).toSeq
+    assert(out2 === Seq(Doc("docX", Seq(Span("text", "Orphan span.", null, 0)))))
+    assert(s2.isRemoved)
+
+    // timed-out group with empty state emits nothing
+    val s3 = TestGroupState.create[Seq[Span]](
+      org.apache.spark.api.java.Optional.empty[Seq[Span]](), GroupStateTimeout.ProcessingTimeTimeout(),
+      1000L, org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = true)
+    assert(Streaming.assembleGroup(60000L)("docZ", Iterator.empty, s3).isEmpty)
+  }
+
   test("watermarked window aggregation over the events stream") {
     val out = Streaming.eventWindowCounts(spark, "/root/testdata/sf0.001")
     assert(out.count() > 0)

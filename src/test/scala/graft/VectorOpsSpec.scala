@@ -62,6 +62,26 @@ class VectorOpsSpec extends SparkSuite {
     assert(r(1).isNullAt(0) && r(1).isNullAt(1) && r(1).isNullAt(2))
   }
 
+  test("float arrays are implicitly cast; null ELEMENTS yield null") {
+    // raw float embedding column, no manual cast
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val self = emb.select(VectorOps.vec_cosine($"embedding", $"embedding").as("c"))
+      .collect()
+    assert(self.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-6))
+    // a null element poisons the result (zip_with/aggregate semantics)
+    val withNullElem = Seq(
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0)),
+      (Seq[java.lang.Double](1.0, 0.0), Seq[java.lang.Double](1.0, 0.0)))
+      .toDF("a", "b")
+      .select(VectorOps.vec_dot($"a", $"b").as("d"),
+        VectorOps.vec_cosine($"a", $"b").as("c"),
+        VectorOps.vec_l2sq($"a", $"b").as("l"))
+      .collect()
+    assert(withNullElem(0).isNullAt(0) && withNullElem(0).isNullAt(1) &&
+      withNullElem(0).isNullAt(2))
+    assert(withNullElem(1).getDouble(0) === 1.0)
+  }
+
   test("works over the embeddings table inside whole-stage codegen") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("vec"))
