@@ -131,8 +131,21 @@ object Similarity {
     * seed centroids are the first `k` vectors by vec_id, refined by one
     * Lloyd step (mean of assigned vectors — deterministic given seeds).
     */
+  /** Built indexes are memoized per (dir, k, dim): the testdata is
+    * read-only, and without the cache every DataFrame CONSTRUCTION of
+    * q_ann_ivf (Explain, repeated Verify calls) silently re-runs the
+    * two index-build jobs.
+    */
+  private val ivfCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Array[(Int, Array[Double])]]()
+
   def buildIvfCentroids(spark: SparkSession, sfDir: String,
-                        k: Int, dim: Int = DefaultDim): Array[(Int, Array[Double])] = {
+                        k: Int, dim: Int = DefaultDim): Array[(Int, Array[Double])] =
+    ivfCache.computeIfAbsent((sfDir, k, dim),
+      _ => buildIvfCentroidsUncached(spark, sfDir, k, dim))
+
+  private def buildIvfCentroidsUncached(spark: SparkSession, sfDir: String,
+                                        k: Int, dim: Int): Array[(Int, Array[Double])] = {
     import spark.implicits._
     val emb = loadEmb(spark, sfDir)
     val seeds = emb.filter($"vec_id" < k)
