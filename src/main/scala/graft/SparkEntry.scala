@@ -78,6 +78,19 @@ object SparkEntry {
       Dedup.withPlantedDups(s.read.parquet(s"$dir/documents.parquet"), 20), 0.5)),
     "q_cosine_dup" -> ((s, dir) => Similarity.cosineDupPairsOf(
       Similarity.withPlantedNearVecs(Similarity.loadEmbeddings(s, dir), 20), 0.99)),
+    // pairs -> connected-component clusters -> one canonical doc per
+    // cluster (the collapse that makes near-dup detection actionable;
+    // union of the minhash + simhash detector outputs)
+    "q_dedup_clusters" -> ((s, dir) => {
+      val raw = s.read.parquet(s"$dir/documents.parquet")
+      val mh = Dedup.minhashPairs(Dedup.withPlantedDups(raw, 20), 0.6)
+        .select(col("doc_a"), col("doc_b"))
+      val sh = Dedup.simhashPairs(Dedup.withPlantedDups(raw, 20, edit = false), 3)
+        .select(col("doc_a"), col("doc_b"))
+      Dedup.clusters(mh.unionByName(sh)
+        .select(col("doc_a").cast("long").as("doc_a"),
+          col("doc_b").cast("long").as("doc_b")))
+    }),
     // ---- similarity search ----
     "q_embed_dims" -> ((s, dir) =>
       s.read.parquet(s"$dir/embeddings.parquet")
@@ -86,6 +99,11 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, dir) => Similarity.lshTopK(s, dir, 5, 5)),
     "q_ann_ivf" -> ((s, dir) => // index build (an action) + probe
       Similarity.ivfTopK(s, dir, Similarity.buildIvfCentroids(s, dir, 16), 5, 5)),
+    // measured IVF recall vs the exact baseline at a realistic cell
+    // count (k=64 cells, broadcast centroid table; nprobe=16 — random
+    // high-dim embeddings need a fat probe, still a 4x candidate prune)
+    "q_ann_ivf_recall" -> ((s, dir) => Similarity.ivfRecall(s, dir,
+      Similarity.buildIvfCentroids(s, dir, 64), 5, 10, nprobe = 16)),
     // ---- misc scalar / stats ops (SURVEY §2.2-2.5) ----
     "q_clean_text" -> ((s, dir) => Misc.cleanDocs(s, dir)),
     "q_distinct_docs" -> ((s, dir) => Misc.distinctDocs(s, dir)),

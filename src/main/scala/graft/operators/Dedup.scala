@@ -32,7 +32,7 @@ object Dedup {
     * Window count over the same key the join shuffles on — AQE reuses
     * the partitioning, so the cap costs no extra exchange.
     */
-  private def capBuckets(buckets: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+  private[operators] def capBuckets(buckets: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
     buckets.withColumn("__bsize", count(lit(1)).over(w))
       .filter(col("__bsize") <= cap)
@@ -204,6 +204,78 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Collapse near-dup PAIRS into duplicate CLUSTERS (connected
+    * components) — the step that makes pair detection actionable for
+    * corpus pruning (round-2 VERDICT #1): every doc in a component maps
+    * to the component's minimum doc id (its canonical representative).
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the minimum label among itself and its neighbors; converges
+    * in ≤ diameter rounds. Near-dup clusters are small-diameter stars/
+    * cliques (pairs all share LSH buckets), so rounds ≈ 2-3; `maxIter`
+    * caps pathological chains. Scale shape per round: one equi-join of
+    * the (persisted, pre-partitioned) edge list against the label table
+    * + one hash agg — labels leave the agg hash-partitioned on `node`,
+    * so the next round's join reuses that partitioning; NO cartesian,
+    * NO driver-side graph. Labels are localCheckpoint'ed per round to
+    * truncate the iterative lineage. The driver-side loop is control
+    * flow only (convergence test); all data stays distributed.
+    *
+    * Input: pairs with columns (doc_a, doc_b), any orderable id type.
+    * Output: (doc_id, cluster_rep, cluster_size) for every doc that
+    * appears in at least one pair (isolated docs are their own cluster
+    * by definition and are omitted — at 100 TB the pair graph is tiny
+    * next to the corpus, and the keep-filter is an anti-join anyway).
+    */
+  def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct() // multi-detector unions repeat pairs
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = edges.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node"))
+        .localCheckpoint()
+      var it = 0
+      var converged = false
+      while (!converged && it < maxIter) {
+        val next = propagateMinLabel(edges, labels).localCheckpoint()
+        val changed = next.as("n")
+          .join(labels.as("o"), Seq("node"))
+          .filter(col("n.label") =!= col("o.label"))
+          .limit(1).count()
+        labels = next
+        converged = changed == 0L
+        it += 1
+      }
+      val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, Seq("label"))
+        .select(col("node").as("doc_id"), col("label").as("cluster_rep"),
+          col("cluster_size"))
+    } finally edges.unpersist(blocking = false)
+  }
+
+  /** One min-label round: node keeps min(own label, neighbors' labels).
+    * Exposed so PlanSpec can pin the per-iteration plan shape.
+    */
+  def propagateMinLabel(edges: DataFrame, labels: DataFrame): DataFrame =
+    edges.join(labels, edges("src") === labels("node"))
+      .select(col("dst").as("node"), col("label"))
+      .unionByName(labels)
+      .groupBy(col("node")).agg(min(col("label")).as("label"))
+
+  /** Prune a corpus to one canonical doc per duplicate cluster: drop
+    * every cluster member that is not its cluster's representative
+    * (left_anti on the small cluster table — docs outside any cluster
+    * pass through untouched).
+    */
+  def canonicalKeep(docs: DataFrame, clusterTable: DataFrame): DataFrame =
+    docs.join(
+      clusterTable.filter(col("doc_id") =!= col("cluster_rep")).select("doc_id"),
+      Seq("doc_id"), "left_anti")
 
   /** Exact n-gram Jaccard on MinHash candidates (verify stage). */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {

@@ -80,6 +80,35 @@ class DedupSpec extends SparkSuite {
     assert(wanted.subsetOf(jc), s"jaccard missed ${wanted diff jc}")
   }
 
+  test("clusters: transitive chain collapses to one component, min rep") {
+    // chain 1-2, 2-3, 3-4 plus separate pair 10-11: two components
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (11L, 10L)).toDF("doc_a", "doc_b")
+    val c = Dedup.clusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(c.toSeq === Seq((1L, 1L, 4L), (2L, 1L, 4L), (3L, 1L, 4L), (4L, 1L, 4L),
+      (10L, 10L, 2L), (11L, 10L, 2L)))
+  }
+
+  test("clusters over planted twins: each twin joins its base's cluster") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = Dedup.minhashPairs(Dedup.withPlantedDups(real, 5), 0.6)
+      .select($"doc_a".cast("long").as("doc_a"), $"doc_b".cast("long").as("doc_b"))
+    val reps = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 5L).foreach { i =>
+      assert(reps(i + 1000000L) === reps(i), s"twin of $i not in its cluster")
+      assert(reps(i) <= i) // representative is a minimum
+    }
+  }
+
+  test("canonicalKeep drops exactly the non-representative members") {
+    val docsDf = Seq(1L, 2L, 3L, 4L, 10L, 11L, 99L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.canonicalKeep(docsDf, Dedup.clusters(pairs))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(1L, 10L, 99L)) // reps survive; untouched doc 99 passes through
+  }
+
   test("exact dedup groups identical normalized text") {
     val withDup = docs.withColumn("n_chars", length($"text"))
     val tmp = java.nio.file.Files.createTempDirectory("dedup").toString

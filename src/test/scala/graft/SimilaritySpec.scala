@@ -70,6 +70,30 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.8, s"recall=$recall exact=$exact approx=$approx")
   }
 
+  test("ivfRecall: per-query recall vs brute ≥ 0.8 on the clustered corpus") {
+    val cents = Similarity.buildIvfCentroids(spark, tmp, 6, dim = 8)
+    val rec = Similarity.ivfRecall(spark, tmp, cents, 5, 3, nprobe = 2)
+      .collect().map(r => r.getAs[Double]("recall"))
+    assert(rec.length === 5)
+    assert(rec.forall(_ >= 0.8), rec.toSeq.toString)
+  }
+
+  test("broadcast centroid table scales k past literal-expression limits") {
+    // k=32 cells over 60 vectors: the assignment must stay total (every
+    // vector lands in exactly one cell) and deterministic
+    val cents = Similarity.buildIvfCentroids(spark, tmp, 32, dim = 8)
+    val table = Similarity.centroidTable(spark, cents)
+    val emb = spark.read.parquet(s"$tmp/embeddings.parquet")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("vec"))
+    val assigned = Similarity.assignCells(emb, table)
+    assert(assigned.count() === 60)
+    assert(assigned.select("vec_id").distinct().count() === 60)
+    val again = Similarity.assignCells(emb, table)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).sorted.toSeq
+    val first = assigned.collect().map(r => (r.getLong(0), r.getInt(2))).sorted.toSeq
+    assert(first === again)
+  }
+
   test("planted near-vectors are found as cosine dup pairs") {
     val emb = spark.read.parquet(s"$tmp/embeddings.parquet")
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("vec"))
