@@ -20,8 +20,11 @@ import org.apache.spark.sql.graftvec.{CosineSim, DotProduct, L2Squared}
   *
   * Accumulation order is left-to-right per accumulator — bit-identical
   * to the HOF formulation it replaces, so frozen oracles stay valid.
-  * Lengths may differ (min is used). A null ELEMENT in the scanned
-  * range yields a null result, matching zip_with/aggregate's null
+  * A LENGTH MISMATCH yields null (zip_with pads the short side with
+  * nulls, so the HOF formulation also returned null — the earlier
+  * min-length scan silently truncated dim-mismatched embeddings to a
+  * finite similarity; advisor finding, round 2). A null ELEMENT in the
+  * scanned range also yields null, matching zip_with/aggregate's null
   * propagation (helpers return boxed Double; codegen branches on it).
   */
 object VectorOps {
@@ -30,7 +33,8 @@ object VectorOps {
     * Double: null result when a scanned element is null.
     */
   def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -41,7 +45,8 @@ object VectorOps {
   }
 
   def cosine(a: ArrayData, b: ArrayData): java.lang.Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var d = 0.0
     var sa = 0.0
     var sb = 0.0
@@ -59,7 +64,8 @@ object VectorOps {
   }
 
   def l2sq(a: ArrayData, b: ArrayData): java.lang.Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {

@@ -64,6 +64,23 @@ object Misc {
         Dates.renderTime($"t").as("rendered"))
   }
 
+  /** Standalone tagged-token table (SURVEY §2.2 pos_tag — round-2
+    * VERDICT: the one §2 row without a direct driver key). One row per
+    * token of the lexicon+suffix tagger's output over the pipeline's
+    * sentence stream, bounded to a deterministic 1/8 doc subset
+    * (xxhash64 bucket — layout/parallelism-independent, the
+    * stratifiedSample pattern) so the frozen VALUES oracle stays small
+    * while remaining per-token exact.
+    */
+  def posTagTable(s: SparkSession, dir: String): DataFrame =
+    Extraction.sentences(graft.Pipeline.docsFor(s, dir)).toDF()
+      .filter(pmod(xxhash64(col("doc_id")), lit(8)) === 0)
+      .select(col("doc_id"), col("sentence_offset"),
+        posexplode(col("tokens")))
+      .select(col("doc_id"), col("sentence_offset"), col("pos").as("tok_idx"),
+        col("col.word").as("word"), col("col.pos").as("pos"),
+        col("col.lemma").as("lemma"))
+
   def normQuantityTable(s: SparkSession): DataFrame = {
     import s.implicits._
     Seq("12.5 km", "1,200 m", "42", "99.9%", "junk").toDF("surface")

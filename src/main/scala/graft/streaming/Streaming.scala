@@ -78,31 +78,52 @@ object Streaming {
     * synthesis: at scale this is how a 10^12-doc corpus ingests from a
     * feed without requiring whole documents per event.
     */
+  /** Assembly state: buffered spans, or a completed-doc TOMBSTONE
+    * (`done=true`, empty buffer). The tombstone keeps the group key
+    * alive after the document was emitted so spans reordered past the
+    * terminator are DROPPED instead of re-opening the doc and later
+    * emitting a duplicate partial Doc on timeout (advisor finding,
+    * round 2). With staleTimeoutMs>0 the tombstone expires through the
+    * timeout branch; with 0 it lives for the query's remaining lifetime
+    * (bounded by distinct completed doc_ids — the quiescent test mode).
+    */
+  case class AsmState(spans: Seq[Span], done: Boolean)
+
   /** Per-group state transition of assembleDocs, exposed for direct
-    * unit testing with `TestGroupState`. On timeout (terminator lost /
-    * reordered past the stale window) the PARTIAL doc is emitted and
-    * the state dropped — neither unbounded state growth nor silent
-    * document loss at 10^12-doc feed scale.
+    * unit testing with `TestGroupState`. On timeout: a tombstone is
+    * silently evicted; a PARTIAL buffer (terminator lost / reordered
+    * past the stale window) is emitted as a partial doc and the state
+    * dropped — neither unbounded state growth nor silent document loss
+    * at 10^12-doc feed scale.
     */
   def assembleGroup(staleTimeoutMs: Long)(
       docId: String, it: Iterator[SpanEvent],
-      state: GroupState[Seq[Span]]): Iterator[Doc] =
+      state: GroupState[AsmState]): Iterator[Doc] =
     if (state.hasTimedOut) {
-      val partial = state.getOption.getOrElse(Seq.empty)
+      val st = state.getOption.getOrElse(AsmState(Seq.empty, done = false))
       state.remove()
-      if (partial.isEmpty) Iterator.empty
-      else Iterator.single(Doc(docId, partial.sortBy(_.offset)))
+      if (st.done || st.spans.isEmpty) Iterator.empty
+      else Iterator.single(Doc(docId, st.spans.sortBy(_.offset)))
     } else {
-      val arrived = it.toSeq
-      val spans = state.getOption.getOrElse(Seq.empty) ++
-        arrived.map(e => Span(e.kind, e.text, e.media_ref, e.offset))
-      if (arrived.exists(_.last)) {
-        state.remove()
-        Iterator.single(Doc(docId, spans.sortBy(_.offset)))
-      } else {
-        state.update(spans)
+      val prior = state.getOption.getOrElse(AsmState(Seq.empty, done = false))
+      if (prior.done) {
+        // post-terminator stragglers: drop, refresh the tombstone TTL
+        it.foreach(_ => ())
         if (staleTimeoutMs > 0) state.setTimeoutDuration(staleTimeoutMs)
         Iterator.empty
+      } else {
+        val arrived = it.toSeq
+        val spans = prior.spans ++
+          arrived.map(e => Span(e.kind, e.text, e.media_ref, e.offset))
+        if (arrived.exists(_.last)) {
+          state.update(AsmState(Seq.empty, done = true)) // tombstone
+          if (staleTimeoutMs > 0) state.setTimeoutDuration(staleTimeoutMs)
+          Iterator.single(Doc(docId, spans.sortBy(_.offset)))
+        } else {
+          state.update(AsmState(spans, done = false))
+          if (staleTimeoutMs > 0) state.setTimeoutDuration(staleTimeoutMs)
+          Iterator.empty
+        }
       }
     }
 
@@ -119,7 +140,7 @@ object Streaming {
       if (staleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
     events.groupByKey(_.doc_id)
-      .flatMapGroupsWithState[Seq[Span], Doc](OutputMode.Append(), conf)(
+      .flatMapGroupsWithState[AsmState, Doc](OutputMode.Append(), conf)(
         assembleGroup(staleTimeoutMs))
   }
 

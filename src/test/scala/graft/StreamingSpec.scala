@@ -68,22 +68,22 @@ class StreamingSpec extends SparkSuite {
 
   test("assembleGroup timeout branch: partial doc emitted, state evicted") {
     import graft.model.{Doc, Span}
-    import graft.streaming.Streaming.SpanEvent
+    import graft.streaming.Streaming.{AsmState, SpanEvent}
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
 
     // arrival batch with no terminator: state buffered, timeout armed
-    val s1 = TestGroupState.create[Seq[Span]](
-      org.apache.spark.api.java.Optional.empty[Seq[Span]](), GroupStateTimeout.ProcessingTimeTimeout(),
+    val s1 = TestGroupState.create[AsmState](
+      org.apache.spark.api.java.Optional.empty[AsmState](), GroupStateTimeout.ProcessingTimeTimeout(),
       1000L, org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
     val out1 = Streaming.assembleGroup(60000L)("docX",
       Iterator(SpanEvent("docX", "text", "Orphan span.", null, 0, last = false)), s1)
     assert(out1.isEmpty)
-    assert(s1.exists && s1.get === Seq(Span("text", "Orphan span.", null, 0)))
+    assert(s1.exists && s1.get === AsmState(Seq(Span("text", "Orphan span.", null, 0)), done = false))
     assert(s1.getTimeoutTimestampMs.isPresent)
 
     // timeout fires (terminator lost): partial doc out, state removed
-    val s2 = TestGroupState.create[Seq[Span]](
-      org.apache.spark.api.java.Optional.of(Seq(Span("text", "Orphan span.", null, 0))),
+    val s2 = TestGroupState.create[AsmState](
+      org.apache.spark.api.java.Optional.of(AsmState(Seq(Span("text", "Orphan span.", null, 0)), done = false)),
       GroupStateTimeout.ProcessingTimeTimeout(),
       1000L, org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = true)
     val out2 = Streaming.assembleGroup(60000L)("docX", Iterator.empty, s2).toSeq
@@ -91,10 +91,43 @@ class StreamingSpec extends SparkSuite {
     assert(s2.isRemoved)
 
     // timed-out group with empty state emits nothing
-    val s3 = TestGroupState.create[Seq[Span]](
-      org.apache.spark.api.java.Optional.empty[Seq[Span]](), GroupStateTimeout.ProcessingTimeTimeout(),
+    val s3 = TestGroupState.create[AsmState](
+      org.apache.spark.api.java.Optional.empty[AsmState](), GroupStateTimeout.ProcessingTimeTimeout(),
       1000L, org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = true)
     assert(Streaming.assembleGroup(60000L)("docZ", Iterator.empty, s3).isEmpty)
+  }
+
+  test("completed-doc tombstone drops post-terminator stragglers (no dup doc)") {
+    import graft.model.{Doc, Span}
+    import graft.streaming.Streaming.{AsmState, SpanEvent}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+
+    // terminator arrives: doc emitted, tombstone (done=true) left behind
+    val s1 = TestGroupState.create[AsmState](
+      org.apache.spark.api.java.Optional.empty[AsmState](), GroupStateTimeout.ProcessingTimeTimeout(),
+      1000L, org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    val out1 = Streaming.assembleGroup(60000L)("docY",
+      Iterator(SpanEvent("docY", "text", "Done.", null, 0, last = true)), s1).toSeq
+    assert(out1 === Seq(Doc("docY", Seq(Span("text", "Done.", null, 0)))))
+    assert(s1.exists && s1.get === AsmState(Seq.empty, done = true))
+
+    // a straggler reordered past the terminator: dropped, NOT re-opened
+    val s2 = TestGroupState.create[AsmState](
+      org.apache.spark.api.java.Optional.of(AsmState(Seq.empty, done = true)),
+      GroupStateTimeout.ProcessingTimeTimeout(),
+      1000L, org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    val out2 = Streaming.assembleGroup(60000L)("docY",
+      Iterator(SpanEvent("docY", "text", "Straggler.", null, 1, last = false)), s2)
+    assert(out2.isEmpty)
+    assert(s2.exists && s2.get.done)
+
+    // the tombstone itself expires silently on timeout
+    val s3 = TestGroupState.create[AsmState](
+      org.apache.spark.api.java.Optional.of(AsmState(Seq.empty, done = true)),
+      GroupStateTimeout.ProcessingTimeTimeout(),
+      1000L, org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = true)
+    assert(Streaming.assembleGroup(60000L)("docY", Iterator.empty, s3).isEmpty)
+    assert(s3.isRemoved)
   }
 
   test("watermarked window aggregation over the events stream") {

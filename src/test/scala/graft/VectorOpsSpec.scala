@@ -82,6 +82,16 @@ class VectorOpsSpec extends SparkSuite {
     assert(withNullElem(1).getDouble(0) === 1.0)
   }
 
+  test("length mismatch yields null, matching the HOF null-pad semantics") {
+    val r = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0)))
+      .toDF("a", "b")
+      .select(VectorOps.vec_dot($"a", $"b").as("d"),
+        VectorOps.vec_cosine($"a", $"b").as("c"),
+        VectorOps.vec_l2sq($"a", $"b").as("l"))
+      .collect()
+    assert(r(0).isNullAt(0) && r(0).isNullAt(1) && r(0).isNullAt(2))
+  }
+
   test("works over the embeddings table inside whole-stage codegen") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("vec"))
