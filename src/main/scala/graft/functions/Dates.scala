@@ -17,11 +17,25 @@ import org.apache.spark.sql.functions._
   */
 object Dates {
 
-  private val monthAlt = Lexicon.months.mkString("|")
-  private val monthArr: Column = typedlit(Lexicon.months.map(_.toLowerCase))
+  /** Month surface forms: full names plus 3-letter abbreviations with
+    * an optional trailing dot ("Jan 1884", "Jan. 1884") and the common
+    * 4-letter "Sept" — the abbreviation classes of the reference's
+    * public regexes.yml date bank.
+    */
+  private val monthAbbrs =
+    Seq("Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug",
+      "Sep", "Oct", "Nov", "Dec")
+  private val monthAlt =
+    (Lexicon.months ++ Seq("Sept\\.?") ++ monthAbbrs.map(_ + "\\.?")).mkString("|")
+  // lookup order matters: position 1..12 full, 13..24 abbrev, 25 = sept
+  private val monthArr: Column = typedlit(
+    Lexicon.months.map(_.toLowerCase) ++ monthAbbrs.map(_.toLowerCase) :+ "sept")
 
-  private def monthNum(tok: Column): Column =
-    array_position(monthArr, lower(tok)).cast("int")
+  private def monthNum(tok: Column): Column = {
+    val idx = array_position(monthArr,
+      regexp_replace(lower(tok), "\\.$", "")).cast("int")
+    when(idx === 25, lit(9)).otherwise((idx - 1) % 12 + 1)
+  }
 
   private def tv(y: Column, m: Column, d: Column, p: Int): Column =
     struct(y.cast("int").as("year"), m.cast("int").as("month"),
@@ -42,10 +56,19 @@ object Dates {
     val mdyRe = s"^($monthAlt) (\\d{1,2}), (\\d{1,4})$$" // US form "July 19, 1884"
     val myRe = s"^($monthAlt) (\\d{1,4})$$"
     val circaRe = "^c\\. (\\d{1,4})$"
+    val flRe = "^fl\\. (\\d{1,4})$" // floruit — pinned: year precision, like circa
+    // seasons — pinned: season -> its opening month (spring=3, summer=6,
+    // autumn/fall=9, winter=12), month precision
+    val seasonRe = "(?i)^(spring|summer|autumn|fall|winter)(?: of)? (\\d{3,4})$"
     val decadeRe = "^(?:(?:early|late) )?(\\d{2,4})0s$" // "1830s", "early 1830s"
     val centuryRe = "^(\\d{1,2})(?:st|nd|rd|th) century$" // pinned: mid-century year, precision 7
     val bcRe = "^(\\d{1,4}) BC$"
     val yRe = "^(\\d{3,4})$"
+    def seasonMonth(tok: Column): Column = {
+      val t = lower(tok)
+      when(t === "spring", 3).when(t === "summer", 6)
+        .when(t === "winter", 12).otherwise(9) // autumn | fall
+    }
     when(c.rlike(isoRe),
       tv(regexp_extract(c, isoRe, 1), regexp_extract(c, isoRe, 2),
         regexp_extract(c, isoRe, 3), 11))
@@ -63,6 +86,11 @@ object Dates {
           lit(0), 10))
       .when(c.rlike(circaRe),
         tv(regexp_extract(c, circaRe, 1), lit(0), lit(0), 9))
+      .when(c.rlike(flRe),
+        tv(regexp_extract(c, flRe, 1), lit(0), lit(0), 9))
+      .when(c.rlike(seasonRe),
+        tv(regexp_extract(c, seasonRe, 2),
+          seasonMonth(regexp_extract(c, seasonRe, 1)), lit(0), 10))
       .when(c.rlike(decadeRe),
         tv(concat(regexp_extract(c, decadeRe, 1), lit("0")), lit(0), lit(0), 8))
       .when(c.rlike(centuryRe),
@@ -75,15 +103,19 @@ object Dates {
         "struct<year:int,month:int,day:int,precision:int>"))
   }
 
-  /** Year-range surface "1832-1901" / "1832–1901" -> array of two year
-    * structs; single values -> 1-element array (SURVEY.md F5 ranges).
+  /** Year-range surfaces "1832-1901" / "1832–1901" / "between 1832 and
+    * 1901" -> array of two year structs; single values -> 1-element
+    * array (SURVEY.md F5 ranges).
     */
   def normDateMulti(c0: Column): Column = {
     val c = trim(c0)
     val rangeRe = "^(\\d{3,4})\\s*[-–]\\s*(\\d{3,4})$"
-    when(c.rlike(rangeRe),
-      array(tv(regexp_extract(c, rangeRe, 1), lit(0), lit(0), 9),
-        tv(regexp_extract(c, rangeRe, 2), lit(0), lit(0), 9)))
+    val betweenRe = "(?i)^between (\\d{3,4}) and (\\d{3,4})$"
+    def years(re: String) =
+      array(tv(regexp_extract(c, re, 1), lit(0), lit(0), 9),
+        tv(regexp_extract(c, re, 2), lit(0), lit(0), 9))
+    when(c.rlike(rangeRe), years(rangeRe))
+      .when(c.rlike(betweenRe), years(betweenRe))
       .otherwise(filter(array(normDate(c)), x => x.isNotNull))
   }
 

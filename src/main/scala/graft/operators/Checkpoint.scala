@@ -63,6 +63,19 @@ object Checkpoint {
       .as[Doc]
   }
 
+  private def ckptOrEmpty(spark: SparkSession, table: String): DataFrame =
+    try readTable(spark, table)
+    catch { case _: Throwable =>
+      import spark.implicits._
+      spark.emptyDataset[CheckpointRow].toDF()
+    }
+
+  private def okBuckets(ckpt: DataFrame, runId: String, stage: String): Set[Int] =
+    ckpt.filter(col("run_id") === runId && col("stage") === stage &&
+        col("status") === "ok")
+      .select(col("partition_id").cast("int")).distinct()
+      .collect().map(_.getInt(0)).toSet
+
   /** Run a stage with checkpointing, write-then-metrics (round-1
     * VERDICT #4): the stage output is committed to `outTable` FIRST —
     * that write is the ONLY computation of the stage — then metrics
@@ -71,34 +84,69 @@ object Checkpoint {
     * recomputes the stage. Every pending bucket gets a checkpoint row,
     * including buckets that yielded zero output rows — otherwise a
     * resume would recompute empty buckets forever.
+    *
+    * Crash-safety (round-2 advisor finding): snapshots commit via
+    * TableIO's atomic manifest — a crash MID-WRITE leaves an orphan
+    * directory no read touches, so the resume recomputes the bucket
+    * with no duplication. A crash BETWEEN snapshot commit and the
+    * checkpoint-row append is closed by the RECONCILE pass below:
+    * buckets already present in the committed table but missing their
+    * checkpoint rows get rows derived from the committed data — never
+    * recomputed, never re-appended.
     */
   def runStage(docs: Dataset[Doc], checkpointTable: String, runId: String,
                stage: String, buckets: Int, outTable: String)
               (body: Dataset[Doc] => DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    val existing =
-      try readTable(spark, checkpointTable)
-      catch { case _: Throwable =>
-        import spark.implicits._
-        spark.emptyDataset[CheckpointRow].toDF()
+    import graft.sources.TableIO
+
+    // reconcile committed-but-unrecorded buckets
+    val done0 = okBuckets(ckptOrEmpty(spark, checkpointTable), runId, stage)
+    if (TableIO.manifest(outTable).isDefined) {
+      val committedBuckets = TableIO.partitionRows(outTable)
+        .map(_._1).filter(_.startsWith("__bucket="))
+        .map(_.stripPrefix("__bucket=").toInt).toSet
+      val unrecorded = committedBuckets -- done0
+      if (unrecorded.nonEmpty) {
+        val prev = TableIO.readWhere(spark, outTable,
+          p => unrecorded.contains(p.stripPrefix("__bucket=").toInt))
+        append(stageMetrics(prev.drop("__bucket"), runId, stage, buckets, 0L)
+          .select(checkpointCols: _*), checkpointTable)
       }
-    val done = existing
-      .filter(col("run_id") === runId && col("stage") === stage && col("status") === "ok")
-      .select(col("partition_id").cast("int").as("bucket")).distinct()
+    }
+
+    val existing = ckptOrEmpty(spark, checkpointTable)
+    val done = okBuckets(existing, runId, stage)
+    val pendingIds = (0 until buckets).filterNot(done).toSet
     val pending = pendingDocs(docs, existing, runId, stage, buckets)
     val t0 = System.currentTimeMillis()
-    graft.sources.TableIO.write(body(pending), outTable,
+    // snapshot partitioned by the resume unit: later reads (metrics
+    // below, a resumed run's reconcile) prune to the buckets they need
+    TableIO.write(body(pending).withColumn("__bucket", bucketOf(buckets)),
+      outTable, partitionBy = Seq("__bucket"),
       snapshotId = s"$runId-$stage",
       mode = org.apache.spark.sql.SaveMode.Append)
-    val committed = graft.sources.TableIO.read(spark, outTable)
     val wallMs = System.currentTimeMillis() - t0
-    // metrics from the COMMITTED table (cheap columnar re-read), plus a
-    // zero row for every pending bucket the output skipped entirely
-    val base = stageMetrics(committed, runId, stage, buckets, wallMs)
+    // metrics from ONLY the pending buckets' committed partitions
+    // (manifest-driven pruning), plus a zero row for every pending
+    // bucket the output skipped entirely
+    val wrotePending = TableIO.partitionRows(outTable).map(_._1)
+      .exists(p => p.startsWith("__bucket=") &&
+        pendingIds.contains(p.stripPrefix("__bucket=").toInt))
+    val base =
+      if (wrotePending)
+        stageMetrics(
+          TableIO.readWhere(spark, outTable, p =>
+            p.startsWith("__bucket=") &&
+              pendingIds.contains(p.stripPrefix("__bucket=").toInt))
+            .drop("__bucket"),
+          runId, stage, buckets, wallMs)
+      else // zero rows committed for the pending buckets: all-zero rows
+        stageMetrics(spark.range(0).select(col("id").cast("string").as("doc_id")),
+          runId, stage, buckets, wallMs)
     val allPending = spark.range(buckets)
       .select(col("id").cast("int").as("partition_id"))
-      .join(broadcast(done.withColumnRenamed("bucket", "partition_id")),
-        Seq("partition_id"), "left_anti")
+      .filter(col("partition_id").isInCollection(pendingIds))
     val rows = allPending.join(base, Seq("partition_id"), "left")
       .select(
         coalesce(col("run_id"), lit(runId)).as("run_id"),
@@ -111,6 +159,10 @@ object Checkpoint {
         coalesce(col("spans_sig_ok"), lit(true)).as("spans_sig_ok"),
         lit("ok").as("status"))
     append(rows, checkpointTable)
-    committed
+    TableIO.read(spark, outTable).drop("__bucket")
   }
+
+  private val checkpointCols = Seq(
+    "run_id", "stage", "partition_id", "doc_count", "triple_count",
+    "min_doc", "max_doc", "wall_ms", "spans_sig_ok", "status").map(col)
 }

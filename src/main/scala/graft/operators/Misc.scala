@@ -56,7 +56,8 @@ object Misc {
     import s.implicits._
     val surfaces =
       (0 until BioGen.dateVariants).map(v => BioGen.dateSurface(v, 1884, 7, 19)._1) ++
-        Seq("1832–1901", "not a date")
+        Seq("1832–1901", "between 1832 and 1901", "Jan 1884", "Sept. 1884",
+          "1 Jan 1884", "fl. 1850", "spring 1850", "Winter 1850", "not a date")
     surfaces.toDF("surface")
       .withColumn("t", explode(Dates.normDateMulti($"surface")))
       .select($"surface", $"t.year".as("year"), $"t.month".as("month"),

@@ -3,52 +3,176 @@ package graft.sources
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+import scala.jdk.CollectionConverters._
 
 /** Iceberg-style table facade (SURVEY.md §0.1): the north rule says
   * "Iceberg tables", but no Iceberg runtime jar exists in this
   * zero-egress image. This facade provides the Iceberg properties the
-  * pipeline relies on — partitioned layout, atomic-enough commit via a
-  * manifest file (write data -> write manifest to temp -> atomic
-  * rename), snapshot id, resume by partition — over partitioned
-  * Parquet. If an iceberg-spark-runtime jar is present, swap the
-  * implementations to `spark.read.format("iceberg")` / `writeTo` with
-  * no pipeline changes.
+  * pipeline relies on over partitioned Parquet:
+  *
+  *  - SNAPSHOT ISOLATION: every write lands in a fresh `snap-*`
+  *    directory; the `_MANIFEST` (written to temp + atomic rename)
+  *    lists the committed snapshots, their files' partitions and
+  *    per-partition row counts. A crash mid-write leaves an ORPHAN
+  *    directory that no read ever touches — the failure mode the
+  *    round-2 advisor flagged (data files appended in place before the
+  *    commit record, duplicated on resume) cannot occur.
+  *  - APPEND = prior snapshots + the new one under a new manifest;
+  *    Overwrite = manifest lists only the new snapshot (old snapshot
+  *    dirs become unreferenced, the Iceberg expire-snapshots analog).
+  *  - MANIFEST-DRIVEN READS: `read` touches exactly the committed
+  *    files; `readWhere` prunes to the partitions a predicate keeps
+  *    (resume reads only the buckets it needs — CheckpointSpec pins
+  *    this via inputFiles).
+  *
+  * If an iceberg-spark-runtime jar is present, swap the implementations
+  * to `spark.read.format("iceberg")` / `writeTo` with no pipeline
+  * changes.
   */
 object TableIO {
 
+  /** Commit summary returned by `write`: total committed rows across
+    * the table after this commit.
+    */
   case class Manifest(snapshotId: String, rowCount: Long, partitionCols: Seq[String])
+
+  private case class Snap(id: String, dir: String, rows: Long)
+  private case class Part(dir: String, path: String, rows: Long)
+  private case class TableState(partitionCols: Seq[String], snaps: Seq[Snap], parts: Seq[Part])
 
   private def manifestPath(table: String) = Paths.get(table, "_MANIFEST")
 
-  /** Commit a DataFrame as a (partitioned) table with a manifest.
-    * mode=Append accumulates data files and re-commits a new manifest
-    * snapshot over the union (the Iceberg-append analog) — used by
-    * resumable stage runs to add pending buckets' output without
-    * clobbering completed ones. Row count comes from the committed
-    * files' footers (metadata-only scan), not a recompute of `df`.
+  private def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  private def render(st: TableState): String = {
+    val sb = new StringBuilder
+    sb ++= s"""{"type":"table","version":2,"partition_cols":"${esc(st.partitionCols.mkString(","))}"}\n"""
+    st.snaps.foreach(s =>
+      sb ++= s"""{"type":"snapshot","id":"${esc(s.id)}","dir":"${esc(s.dir)}","row_count":${s.rows}}\n""")
+    st.parts.foreach(p =>
+      sb ++= s"""{"type":"partition","dir":"${esc(p.dir)}","path":"${esc(p.path)}","rows":${p.rows}}\n""")
+    sb.result()
+  }
+
+  // we only parse what `render` wrote: one flat JSON object per line
+  private val fieldRe = """"(\w+)":(?:"((?:[^"\\]|\\.)*)"|(-?\d+))""".r
+
+  private def parseLine(line: String): Map[String, String] =
+    fieldRe.findAllMatchIn(line).map { m =>
+      val v =
+        if (m.group(2) != null) m.group(2).replace("\\\"", "\"").replace("\\\\", "\\")
+        else m.group(3)
+      m.group(1) -> v
+    }.toMap
+
+  private def loadState(table: String): Option[TableState] =
+    if (!Files.exists(manifestPath(table))) None
+    else {
+      val maps = Files.readAllLines(manifestPath(table)).asScala.toSeq
+        .filter(_.nonEmpty).map(parseLine)
+      def of(t: String) = maps.filter(_.get("type").contains(t))
+      val pcols = of("table").headOption
+        .flatMap(_.get("partition_cols")).filter(_.nonEmpty)
+        .map(_.split(",").toSeq).getOrElse(Nil)
+      val snaps = of("snapshot").map(m => Snap(m("id"), m("dir"), m("row_count").toLong))
+      val parts = of("partition").map(m => Part(m("dir"), m("path"), m("rows").toLong))
+      Some(TableState(pcols, snaps, parts))
+    }
+
+  private def commitState(table: String, st: TableState): Unit = {
+    Files.createDirectories(Paths.get(table))
+    val tmp = Paths.get(table, "_MANIFEST.tmp")
+    Files.writeString(tmp, render(st))
+    Files.move(tmp, manifestPath(table), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private val snapCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Commit a DataFrame as a new snapshot of a (partitioned) table.
+    * The data lands in a fresh snapshot directory; per-partition row
+    * counts are derived from the committed files (footer scan), and
+    * only then is the manifest atomically replaced — the commit point.
+    * Append keeps prior snapshots; Overwrite starts the list over.
     */
   def write(df: DataFrame, table: String, partitionBy: Seq[String] = Nil,
             snapshotId: String = "s1",
             mode: SaveMode = SaveMode.Overwrite): Manifest = {
-    val w = df.write.mode(mode)
+    val spark = df.sparkSession
+    val prior =
+      (if (mode == SaveMode.Append) loadState(table) else None)
+        .getOrElse(TableState(partitionBy, Nil, Nil))
+    require(prior.partitionCols == partitionBy,
+      s"append partitioning ${partitionBy.mkString(",")} must match table's ${prior.partitionCols.mkString(",")}")
+    val snapDir = "snap-" + snapshotId.replaceAll("[^a-zA-Z0-9._-]", "_") +
+      "-" + snapCounter.incrementAndGet()
+    val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(s"$table/data")
-    val n = df.sparkSession.read.parquet(s"$table/data").count()
-    val m = Manifest(snapshotId, n, partitionBy)
-    val tmp = Paths.get(table, s"_MANIFEST.tmp")
-    Files.writeString(tmp,
-      s"""{"snapshot_id":"${m.snapshotId}","row_count":${m.rowCount},"partition_cols":"${partitionBy.mkString(",")}"}""")
-    Files.move(tmp, manifestPath(table), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    m
+      .parquet(s"$table/$snapDir")
+    // stats from the COMMITTED files, not a recompute of `df`
+    val parts: Seq[Part] =
+      try {
+        val committed = spark.read.parquet(s"$table/$snapDir")
+        if (partitionBy.nonEmpty)
+          committed.groupBy(partitionBy.map(col): _*).count().collect().toSeq
+            .map { r =>
+              val path = partitionBy.zipWithIndex
+                .map { case (c, i) => s"$c=${r.get(i)}" }.mkString("/")
+              Part(snapDir, path, r.getLong(partitionBy.length))
+            }.sortBy(_.path)
+        else Seq(Part(snapDir, "", committed.count()))
+      } catch { // a zero-row write leaves no readable files: empty snapshot
+        case _: org.apache.spark.sql.AnalysisException => Nil
+      }
+    val snap = Snap(snapshotId, snapDir, parts.map(_.rows).sum)
+    val st = TableState(partitionBy, prior.snaps :+ snap, prior.parts ++ parts)
+    commitState(table, st)
+    Manifest(snapshotId, st.parts.map(_.rows).sum, partitionBy)
   }
 
-  /** Read a committed table; throws if no manifest (uncommitted write). */
+  /** Read a committed table: exactly the manifest's files, as the union
+    * of its non-empty snapshot directories. Orphan directories from
+    * crashed attempts are never touched. Throws if no manifest
+    * (uncommitted write).
+    */
   def read(spark: SparkSession, table: String): DataFrame = {
-    require(Files.exists(manifestPath(table)),
-      s"table $table has no committed manifest")
-    spark.read.parquet(s"$table/data")
+    val st = state(table)
+    val dirs = st.parts.map(_.dir).distinct
+    require(dirs.nonEmpty, s"table $table has no committed data")
+    dirs.map(d => spark.read.parquet(s"$table/$d")).reduce(_.unionByName(_))
   }
+
+  /** Manifest-driven partition-pruned read: only committed partitions
+    * whose relative path (e.g. "pred_bucket=3") satisfies `keep` are
+    * read — the scan never lists or touches other partitions' files.
+    * For unpartitioned snapshots the path is "".
+    */
+  def readWhere(spark: SparkSession, table: String,
+                keep: String => Boolean): DataFrame = {
+    val st = state(table)
+    val sel = st.parts.filter(p => keep(p.path))
+    require(sel.nonEmpty, s"table $table: no committed partition matches the predicate")
+    if (st.partitionCols.isEmpty)
+      sel.map(_.dir).distinct.sorted
+        .map(d => spark.read.parquet(s"$table/$d")).reduce(_.unionByName(_))
+    else
+      sel.groupBy(_.dir).toSeq.sortBy(_._1)
+        .map { case (d, ps) =>
+          spark.read.option("basePath", s"$table/$d")
+            .parquet(ps.map(p => s"$table/$d/${p.path}"): _*)
+        }
+        .reduce(_.unionByName(_))
+  }
+
+  /** Committed per-partition row counts: (partition path, rows). */
+  def partitionRows(table: String): Seq[(String, Long)] =
+    state(table).parts.groupBy(_.path).toSeq.sortBy(_._1)
+      .map { case (p, ps) => (p, ps.map(_.rows).sum) }
+
+  private def state(table: String): TableState =
+    loadState(table).getOrElse(
+      throw new IllegalArgumentException(s"table $table has no committed manifest"))
 
   def manifest(table: String): Option[String] =
     if (Files.exists(manifestPath(table)))

@@ -99,6 +99,71 @@ class CheckpointSpec extends SparkSuite {
     }
   }
 
+  test("orphan snapshot dirs (crash mid-write) are invisible to reads") {
+    val dir = java.nio.file.Files.createTempDirectory("tio_orphan").toString
+    val table = s"$dir/t"
+    TableIO.write(Seq((1, "a"), (2, "b")).toDF("id", "v"), table, snapshotId = "good")
+    // a crashed attempt: data files written, but no manifest commit
+    Seq((99, "ORPHAN"), (98, "ORPHAN")).toDF("id", "v")
+      .write.parquet(s"$table/snap-crashed-attempt")
+    val rows = TableIO.read(spark, table).collect().map(_.getInt(0)).sorted.toSeq
+    assert(rows === Seq(1, 2)) // orphan rows never surface
+    assert(TableIO.read(spark, table).inputFiles.forall(!_.contains("snap-crashed-attempt")))
+  }
+
+  test("readWhere prunes to the manifest's listed partitions only") {
+    val dir = java.nio.file.Files.createTempDirectory("tio_prune").toString
+    val table = s"$dir/t"
+    val df = (0 until 40).map(i => (i.toLong, i % 4)).toDF("id", "b")
+    TableIO.write(df, table, partitionBy = Seq("b"), snapshotId = "s1")
+    TableIO.write((40 until 60).map(i => (i.toLong, i % 4)).toDF("id", "b"),
+      table, partitionBy = Seq("b"), snapshotId = "s2",
+      mode = org.apache.spark.sql.SaveMode.Append)
+    // per-partition row counts recorded across snapshots
+    assert(TableIO.partitionRows(table).toMap === Map(
+      "b=0" -> 15L, "b=1" -> 15L, "b=2" -> 15L, "b=3" -> 15L))
+    val pruned = TableIO.readWhere(spark, table, _ == "b=2")
+    assert(pruned.count() === 15)
+    assert(pruned.inputFiles.nonEmpty &&
+      pruned.inputFiles.forall(_.contains("/b=2/")), pruned.inputFiles.mkString(","))
+    assert(pruned.select("b").distinct().collect().map(_.getInt(0)).toSeq === Seq(2))
+  }
+
+  test("crash between snapshot commit and checkpoint append: reconciled, no dup rows") {
+    val dir = java.nio.file.Files.createTempDirectory("ckpt_crash").toString
+    val ckptTable = s"$dir/checkpoint"
+    val outTable = s"$dir/out"
+    val docs = Corpus.fixtureCorpus(spark, 80)
+
+    // full successful run
+    val out1 = Checkpoint.runStage(docs, ckptTable, "run1", "triples", Buckets,
+      outTable)(d => Pipeline.textPath(d))
+    val fullRows = out1.count()
+    val fullSorted = out1
+      .select($"doc_id", $"subj", $"pred", coalesce($"obj_qid", $"obj_text").as("o"))
+      .collect().map(_.toString).sorted.toSeq
+
+    // simulate the crash window: the snapshot committed, but the
+    // checkpoint rows for buckets >= Buckets/2 were never appended
+    val ck = Checkpoint.readTable(spark, ckptTable)
+    val ckptTable2 = s"$dir/checkpoint2"
+    ck.filter($"partition_id" < Buckets / 2).write.parquet(ckptTable2)
+
+    // resumed run: reconcile must record the committed buckets WITHOUT
+    // recomputing them — table content identical, no duplicates
+    val out2 = Checkpoint.runStage(docs, ckptTable2, "run1", "triples", Buckets,
+      outTable)(d => Pipeline.textPath(d))
+    assert(out2.count() === fullRows)
+    val resumedSorted = out2
+      .select($"doc_id", $"subj", $"pred", coalesce($"obj_qid", $"obj_text").as("o"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(resumedSorted === fullSorted)
+    // and the checkpoint is complete again
+    val ck2 = Checkpoint.readTable(spark, ckptTable2)
+    assert(ck2.filter($"status" === "ok")
+      .select("partition_id").distinct().count() === Buckets)
+  }
+
   test("TableIO manifest commit + read-back") {
     val dir = java.nio.file.Files.createTempDirectory("tio").toString
     val df = Seq((1, "a"), (2, "b")).toDF("id", "v")

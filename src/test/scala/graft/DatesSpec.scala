@@ -32,6 +32,24 @@ class DatesSpec extends SparkSuite {
     assert(norm("1234567") === None) // bad-date reject fodder stays unparseable
     assert(norm("not a date") === None)
     assert(norm("") === None)
+    // round-3 breadth: abbreviations, floruit, seasons
+    assert(norm("Jan 1884") === Some((1884, 1, 0, 10)))
+    assert(norm("Sept. 1884") === Some((1884, 9, 0, 10)))
+    assert(norm("1 Jan 1884") === Some((1884, 1, 1, 11)))
+    assert(norm("Dec. 25, 1884") === Some((1884, 12, 25, 11)))
+    assert(norm("fl. 1850") === Some((1850, 0, 0, 9)))
+    assert(norm("spring 1850") === Some((1850, 3, 0, 10)))
+    assert(norm("Summer of 1850") === Some((1850, 6, 0, 10)))
+    assert(norm("fall 1850") === Some((1850, 9, 0, 10)))
+    assert(norm("Winter 1850") === Some((1850, 12, 0, 10)))
+  }
+
+  test("between-range produces two year values") {
+    val rows = Seq("between 1832 and 1901").toDF("d")
+      .select(explode(Dates.normDateMulti($"d")).as("t"))
+      .select("t.year", "t.precision").collect()
+    assert(rows.map(r => (r.getInt(0), r.getInt(1))).toSeq ===
+      Seq((1832, 9), (1901, 9)))
   }
 
   test("all BioGen surface variants round-trip") {
