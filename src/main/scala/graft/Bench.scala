@@ -34,7 +34,8 @@ object Bench {
   val headline: Seq[String] = Seq(
     "pipe_triples", "q_tf", "q_lu_rank", "q_join_broadcast", "q_join_salted",
     "q_window_rank", "q_dedup_exact", "q_minhash_buckets", "q_simhash",
-    "q_ann_brute", "q_ann_lsh", "q_quality", "q_media_stats")
+    "q_ann_brute", "q_ann_lsh", "q_ann_ivf", "q_quality", "q_media_stats",
+    "q_cosine_dup", "q_dedup_clusters")
 
   def time(body: => Unit): Double = {
     val t0 = System.nanoTime()

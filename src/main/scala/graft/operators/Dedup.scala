@@ -145,26 +145,38 @@ object Dedup {
   }
 
   /** MinHash+LSH near-dup candidate pairs with estimated Jaccard ≥
-    * threshold. Pure Spark: bucket self-join (equi, shuffle-bounded),
-    * signature re-check in a typed join against the signatures table.
+    * threshold. Pure Spark: the SIGNATURE RIDES THROUGH the banded
+    * shuffle ((band, bucket, sig) rows), so one typed map computes
+    * minhash exactly once and the bucket self-join yields both sides'
+    * signatures directly — the earlier form re-joined a separate
+    * signatures table per side, re-computing minhash over the corpus
+    * twice more and adding two shuffle joins. Payload cost: sig
+    * (NumHashes longs) × Bands per doc through one shuffle — the
+    * standard trade in production LSH dedup. Candidate fan-out is
+    * bounded by the hot-bucket cap; multi-band collisions collapse via
+    * distinct before the estimate.
     */
   def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sigs = docs.select($"doc_id".cast("string").as("doc_id"), $"text")
+    val banded0 = docs.select($"doc_id".cast("string").as("doc_id"), $"text")
       .as[(String, String)]
-      .map { case (id, t) => (id, minhash(if (t == null) "" else t).toSeq) }
-      .toDF("doc_id", "sig")
-    val buckets = capBuckets(minhashBuckets(docs), Seq("band", "bucket"), MaxBucket)
-    val cand = buckets.as("l")
-      .join(buckets.as("r"),
+      .flatMap { case (id, text) =>
+        val sig = minhash(if (text == null) "" else text)
+        (0 until Bands).map { b =>
+          val slice = sig.slice(b * Rows, (b + 1) * Rows)
+          (id, sig.toSeq, b, Det.mix(slice.toIndexedSeq: _*))
+        }
+      }
+      .toDF("doc_id", "sig", "band", "bucket")
+    val banded = capBuckets(banded0, Seq("band", "bucket"), MaxBucket)
+    banded.as("l")
+      .join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
       .distinct()
-    cand
-      .join(sigs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a"), "doc_a")
-      .join(sigs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b"), "doc_b")
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"), (a, b) => when(a === b, 1).otherwise(0)),
           lit(0), (acc, x) => acc + x).cast("double") / lit(NumHashes))
@@ -210,17 +222,19 @@ object Dedup {
     * corpus pruning (round-2 VERDICT #1): every doc in a component maps
     * to the component's minimum doc id (its canonical representative).
     *
-    * Algorithm: iterative min-label propagation — each round every node
-    * takes the minimum label among itself and its neighbors; converges
-    * in ≤ diameter rounds. Near-dup clusters are small-diameter stars/
-    * cliques (pairs all share LSH buckets), so rounds ≈ 2-3; `maxIter`
-    * caps pathological chains. Scale shape per round: one equi-join of
-    * the (persisted, pre-partitioned) edge list against the label table
-    * + one hash agg — labels leave the agg hash-partitioned on `node`,
-    * so the next round's join reuses that partitioning; NO cartesian,
-    * NO driver-side graph. Labels are localCheckpoint'ed per round to
-    * truncate the iterative lineage. The driver-side loop is control
-    * flow only (convergence test); all data stays distributed.
+    * Algorithm: min-label propagation + POINTER JUMPING per round —
+    * every node first takes the minimum label among itself and its
+    * neighbors (one equi-join of the persisted, pre-partitioned edge
+    * list + one hash agg), then compresses paths by adopting its
+    * label's label (one self-join of the tiny label table). Plain
+    * propagation alone needs O(diameter) rounds and silently hit the
+    * iteration cap on sf0.1's long salad-dup CHAINS; the jump halves
+    * the remaining distance each round, so convergence is O(log
+    * diameter) — the property a 100 TB pair graph requires (and the
+    * same reason large-star/small-star exists). NO cartesian, NO
+    * driver-side graph; labels are localCheckpoint'ed per round to
+    * truncate the iterative lineage; the driver-side loop is control
+    * flow only (convergence test).
     *
     * Input: pairs with columns (doc_a, doc_b), any orderable id type.
     * Output: (doc_id, cluster_rep, cluster_size) for every doc that
@@ -228,7 +242,7 @@ object Dedup {
     * by definition and are omitted — at 100 TB the pair graph is tiny
     * next to the corpus, and the keep-filter is an anti-join anyway).
     */
-  def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def clusters(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -242,7 +256,11 @@ object Dedup {
       var it = 0
       var converged = false
       while (!converged && it < maxIter) {
-        val next = propagateMinLabel(edges, labels).localCheckpoint()
+        // one checkpoint per round; the jump's self-join computes the
+        // (tiny) propagate subtree once per side — cheaper than the
+        // extra materialization job an intermediate checkpoint costs
+        val next = pointerJump(propagateMinLabel(edges, labels))
+          .localCheckpoint()
         val changed = next.as("n")
           .join(labels.as("o"), Seq("node"))
           .filter(col("n.label") =!= col("o.label"))
@@ -259,13 +277,29 @@ object Dedup {
   }
 
   /** One min-label round: node keeps min(own label, neighbors' labels).
+    * Formulated as join + agg + left-join-least (no Union: a Union
+    * under the later self-join trips Catalyst's constraint rewrite,
+    * and the aggregated message table is smaller to join anyway).
     * Exposed so PlanSpec can pin the per-iteration plan shape.
     */
-  def propagateMinLabel(edges: DataFrame, labels: DataFrame): DataFrame =
-    edges.join(labels, edges("src") === labels("node"))
-      .select(col("dst").as("node"), col("label"))
-      .unionByName(labels)
-      .groupBy(col("node")).agg(min(col("label")).as("label"))
+  def propagateMinLabel(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val msgMin = edges.join(labels, edges("src") === labels("node"))
+      .groupBy(col("dst")).agg(min(col("label")).as("nbr_min"))
+    labels.join(msgMin, labels("node") === msgMin("dst"), "left")
+      .select(labels("node"),
+        least(col("label"), col("nbr_min")).as("label")) // least skips nulls
+  }
+
+  /** Path compression: each node adopts its label's label. Labels are
+    * min-monotone (label(label(v)) ≤ label(v)), so jumping halves the
+    * distance to the component minimum each round. One equi-self-join
+    * of the label table — tiny next to the edge join.
+    */
+  def pointerJump(labels: DataFrame): DataFrame =
+    labels.as("a")
+      .join(labels.select(col("node").as("label"), col("label").as("label2")).as("b"),
+        Seq("label"), "left")
+      .select(col("node"), coalesce(col("label2"), col("label")).as("label"))
 
   /** Prune a corpus to one canonical doc per duplicate cluster: drop
     * every cluster member that is not its cluster's representative

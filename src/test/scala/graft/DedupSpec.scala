@@ -89,6 +89,16 @@ class DedupSpec extends SparkSuite {
       (10L, 10L, 2L), (11L, 10L, 2L)))
   }
 
+  test("clusters: 64-node chain converges in O(log d) rounds (pointer jump)") {
+    // diameter-63 chain; propagation alone would need 63 rounds — the
+    // pointer jump must close it within the 10-round cap
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val c = Dedup.clusters(pairs, maxIter = 10).collect()
+    assert(c.length === 64)
+    assert(c.forall(_.getLong(1) === 0L), "chain did not collapse to min label")
+    assert(c.forall(_.getLong(2) === 64L))
+  }
+
   test("clusters over planted twins: each twin joins its base's cluster") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val pairs = Dedup.minhashPairs(Dedup.withPlantedDups(real, 5), 0.6)
