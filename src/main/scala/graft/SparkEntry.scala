@@ -100,6 +100,21 @@ object SparkEntry {
         .select(col("doc_a").cast("long").as("doc_a"),
           col("doc_b").cast("long").as("doc_b")))
     }),
+    // the actual corpus prune: every cluster keeps its representative,
+    // everything else drops; untouched docs pass through
+    "q_dedup_keep" -> ((s, dir) => {
+      val docs = Dedup.withPlantedDups(s.read.parquet(s"$dir/documents.parquet"), 20)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val pairs = Dedup.minhashPairs(docs, 0.6)
+        .select(col("doc_a").cast("long").as("doc_a"),
+          col("doc_b").cast("long").as("doc_b"))
+      val kept = Dedup.canonicalKeep(docs, Dedup.clusters(pairs))
+      docs.agg(count(lit(1)).as("n_docs")).crossJoin(
+        kept.agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("kept_id_sum")))
+        .select(col("n_docs"), col("n_kept"),
+          (col("n_docs") - col("n_kept")).as("n_dropped"), col("kept_id_sum"))
+    }),
     // ---- similarity search ----
     "q_embed_dims" -> ((s, dir) =>
       s.read.parquet(s"$dir/embeddings.parquet")

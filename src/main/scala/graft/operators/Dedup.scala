@@ -253,6 +253,13 @@ object Dedup {
       var labels = edges.select(col("src").as("node")).distinct()
         .withColumn("label", col("node"))
         .localCheckpoint()
+      // labels are MIN-MONOTONE per node, so the label total strictly
+      // decreases until the fixpoint: an unchanged total IS convergence.
+      // One partial aggregate over the cached round — no per-round
+      // change-detection join (a shuffle that grows with the node count)
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0)
+      var prevSum = labelSum(labels)
       var it = 0
       var converged = false
       while (!converged && it < maxIter) {
@@ -261,12 +268,10 @@ object Dedup {
         // extra materialization job an intermediate checkpoint costs
         val next = pointerJump(propagateMinLabel(edges, labels))
           .localCheckpoint()
-        val changed = next.as("n")
-          .join(labels.as("o"), Seq("node"))
-          .filter(col("n.label") =!= col("o.label"))
-          .limit(1).count()
+        val s = labelSum(next)
         labels = next
-        converged = changed == 0L
+        converged = s == prevSum
+        prevSum = s
         it += 1
       }
       val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
