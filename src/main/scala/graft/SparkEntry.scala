@@ -100,6 +100,16 @@ object SparkEntry {
         .select(col("doc_a").cast("long").as("doc_a"),
           col("doc_b").cast("long").as("doc_b")))
     }),
+    // incremental ingest: near-dups of a NEW batch (planted twins of
+    // old docs + the tail of the corpus) against the existing corpus —
+    // no old-x-old candidates, cost scales with the increment
+    "q_dedup_incremental" -> ((s, dir) => {
+      val raw = s.read.parquet(s"$dir/documents.parquet")
+      val withTwins = Dedup.withPlantedDups(raw, 20)
+      val corpus = withTwins.filter(col("doc_id") < 480)
+      val fresh = withTwins.filter(col("doc_id") >= 480)
+      Dedup.incrementalPairs(corpus, fresh, 0.6)
+    }),
     // the actual corpus prune: every cluster keeps its representative,
     // everything else drops; untouched docs pass through
     "q_dedup_keep" -> ((s, dir) => {
@@ -285,6 +295,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"), countDistinct(col("pred")).as("n_preds"))
         .withColumn("pred_bucket", col("pred_bucket").cast("int"))
     }),
+    // watermark + event-time window aggregation run as a stream
+    // (AvailableNow, memory sink); the oracle is INDEPENDENT hand-
+    // written DuckDB SQL (tumbling-window floor arithmetic)
+    "pipe_stream_window" -> ((s, dir) =>
+      graft.streaming.Streaming.eventWindowCounts(s, dir)
+        .select(date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n"), col("sum_cents"))),
     "pipe_eval" -> ((s, dir) => Pipeline.evaluate(s, dir))
   )
 
@@ -472,6 +489,14 @@ object SparkEntry {
          FROM documents GROUP BY lang""",
     "q_filter_lang" ->
       """SELECT source, count(*) AS n_docs FROM documents
-         WHERE lang = 'en' GROUP BY source"""
+         WHERE lang = 'en' GROUP BY source""",
+    // independent re-derivation of the streamed tumbling-window agg:
+    // 6h windows aligned at the UTC epoch = floor(epoch/21600)
+    "pipe_stream_window" ->
+      """SELECT strftime(to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)),
+                         '%Y-%m-%d %H:%M:%S') AS win_start,
+                event_type, count(*) AS n,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM events GROUP BY 1, 2"""
   )
 }

@@ -78,7 +78,13 @@ object Lexicon {
     "January", "February", "March", "April", "May", "June", "July",
     "August", "September", "October", "November", "December")
   val monthIndex: Map[String, Int] =
-    months.zipWithIndex.map { case (m, i) => m.toLowerCase -> (i + 1) }.toMap
+    months.zipWithIndex.map { case (m, i) => m.toLowerCase -> (i + 1) }.toMap ++
+      // abbreviations ("Jan", "Jan.", "Sept") tag as months too, so date
+      // chunking groups "1 Jan 1884" even on corpora using short forms
+      months.zipWithIndex.flatMap { case (m, i) =>
+        val a = m.toLowerCase.take(3)
+        Seq(a -> (i + 1), s"$a." -> (i + 1))
+      } ++ Seq("sept" -> 9, "sept." -> 9)
 
   val stopwords: Set[String] = Set(
     "the", "a", "an", "of", "and", "in", "on", "at", "as", "to", "by",

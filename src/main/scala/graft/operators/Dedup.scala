@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.util.Det
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -129,20 +129,8 @@ object Dedup {
   /** MinHash band/bucket table: (doc_id, band, bucket) — the LSH
     * pre-join state. Candidate pairs are an equi-join on (band,bucket).
     */
-  def minhashBuckets(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select($"doc_id".cast("string").as("doc_id"), $"text")
-      .as[(String, String)]
-      .flatMap { case (id, text) =>
-        val sig = minhash(if (text == null) "" else text)
-        (0 until Bands).map { b =>
-          val slice = sig.slice(b * Rows, (b + 1) * Rows)
-          (id, b, Det.mix(slice.toIndexedSeq: _*))
-        }
-      }
-      .toDF("doc_id", "band", "bucket")
-  }
+  def minhashBuckets(docs: DataFrame): DataFrame =
+    bandedSigs(docs).select("doc_id", "band", "bucket")
 
   /** MinHash+LSH near-dup candidate pairs with estimated Jaccard ≥
     * threshold. Pure Spark: the SIGNATURE RIDES THROUGH the banded
@@ -156,10 +144,15 @@ object Dedup {
     * bounded by the hot-bucket cap; multi-band collisions collapse via
     * distinct before the estimate.
     */
-  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  /** (doc_id, sig, band, bucket) rows — the LSH index state, one
+    * minhash compute per doc, signature carried alongside its band
+    * keys. At scale this IS the committed dedup-index table a corpus
+    * maintains (TableIO-written once, read by every later increment).
+    */
+  def bandedSigs(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val banded0 = docs.select($"doc_id".cast("string").as("doc_id"), $"text")
+    docs.select($"doc_id".cast("string").as("doc_id"), $"text")
       .as[(String, String)]
       .flatMap { case (id, text) =>
         val sig = minhash(if (text == null) "" else text)
@@ -169,7 +162,14 @@ object Dedup {
         }
       }
       .toDF("doc_id", "sig", "band", "bucket")
-    val banded = capBuckets(banded0, Seq("band", "bucket"), MaxBucket)
+  }
+
+  private def estJaccard: Column =
+    aggregate(zip_with(col("sig_a"), col("sig_b"), (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / lit(NumHashes)
+
+  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val banded = capBuckets(bandedSigs(docs), Seq("band", "bucket"), MaxBucket)
     banded.as("l")
       .join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
@@ -177,11 +177,39 @@ object Dedup {
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
         col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
       .distinct()
-      .withColumn("est_jaccard",
-        aggregate(zip_with(col("sig_a"), col("sig_b"), (a, b) => when(a === b, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / lit(NumHashes))
+      .withColumn("est_jaccard", estJaccard)
       .filter(col("est_jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+  }
+
+  /** INCREMENTAL near-dup detection: pairs of a NEW batch against the
+    * existing corpus (and within the batch), with NO old×old candidate
+    * ever generated — the production shape for ingesting a crawl
+    * increment against a 100 TB corpus. The corpus side joins through
+    * its banded-signature index (`bandedSigs` — in production a
+    * committed table, not recomputed); the equi-join keys are the same
+    * (band, bucket) pairs, so cost scales with the INCREMENT size, not
+    * the corpus. Output: (doc_new, doc_other, est_jaccard) where
+    * doc_other is an existing doc or a batch sibling.
+    */
+  def incrementalPairs(corpus: DataFrame, fresh: DataFrame,
+                       threshold: Double): DataFrame = {
+    val idx = capBuckets(
+      bandedSigs(corpus).withColumn("is_new", lit(false))
+        .unionByName(bandedSigs(fresh).withColumn("is_new", lit(true))),
+      Seq("band", "bucket"), MaxBucket)
+    idx.as("l")
+      .join(idx.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.is_new") && // left side is always a new doc
+          (!col("r.is_new") || col("l.doc_id") < col("r.doc_id")))
+      .select(col("l.doc_id").as("doc_new"), col("r.doc_id").as("doc_other"),
+        col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
+      .distinct()
+      .withColumn("est_jaccard", estJaccard)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("doc_new"), col("doc_other"),
+        round(col("est_jaccard"), 6).as("est_jaccard"))
   }
 
   /** SimHash table + banded candidate pairs within Hamming distance k.

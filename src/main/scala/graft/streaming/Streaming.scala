@@ -159,8 +159,11 @@ object Streaming {
       .withColumn("ts", $"ts".cast("timestamp")) // NTZ -> event-time type
       .withWatermark("ts", "1 hour")
       .groupBy(window($"ts", "6 hours"), $"event_type")
-      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
-      .select($"window.start".as("win_start"), $"event_type", $"n", $"sum_value")
+      // exact integer cents: a rounded double sum is partial-merge-order
+      // dependent at the rounding boundary (engines could disagree)
+      .agg(count(lit(1)).as("n"),
+        sum(round($"value" * 100).cast("long")).as("sum_cents"))
+      .select($"window.start".as("win_start"), $"event_type", $"n", $"sum_cents")
       .writeStream
       .outputMode("complete")
       .format("memory")

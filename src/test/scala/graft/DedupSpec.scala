@@ -111,6 +111,22 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("incrementalPairs: twins hit their old bases; no old-x-old pair") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val withTwins = Dedup.withPlantedDups(real, 5)
+    val corpus = withTwins.filter($"doc_id" < 1000000L)
+    val fresh = withTwins.filter($"doc_id" >= 1000000L)
+    val pairs = Dedup.incrementalPairs(corpus, fresh, 0.6).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // every planted twin is caught against its existing base
+    (0L until 5L).foreach { i =>
+      assert(pairs.contains(((i + 1000000L).toString, i.toString)),
+        s"twin of $i missed: ${pairs.toSeq}")
+    }
+    // the left side is ALWAYS a new doc (no old-x-old candidates)
+    assert(pairs.forall(_._1.toLong >= 1000000L), pairs.toSeq.toString)
+  }
+
   test("canonicalKeep drops exactly the non-representative members") {
     val docsDf = Seq(1L, 2L, 3L, 4L, 10L, 11L, 99L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
