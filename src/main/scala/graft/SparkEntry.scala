@@ -270,6 +270,18 @@ object SparkEntry {
     "pipe_rejected" -> ((s, dir) => Pipeline.rejected(s, dir)
       .groupBy(col("frame"), col("reason")).agg(count(lit(1)).as("n"))),
     "pipe_qs" -> ((s, dir) => Serialize.quickStatements(Pipeline.triples(s, dir))),
+    // media spans as triple provenance (the interleaved-media axis):
+    // QS lines gain `S4656 "media_ref"` when the source sentence sits
+    // under a media span
+    "pipe_qs_media" -> ((s, dir) => Serialize.quickStatementsWithMedia(
+      Pipeline.triples(s, dir), Serialize.mediaContext(Pipeline.docsFor(s, dir)))),
+    "q_media_provenance" -> ((s, dir) =>
+      Pipeline.triples(s, dir)
+        .join(Serialize.mediaContext(Pipeline.docsFor(s, dir)),
+          Seq("doc_id", "sentence_offset"), "left")
+        .groupBy(col("media_ctx").isNotNull.as("has_media_ctx"))
+        .agg(count(lit(1)).as("n_triples"),
+          countDistinct(col("doc_id")).as("n_docs"))),
     "pipe_dedup_global" -> ((s, dir) =>
       Serialize.dedupStatements(Pipeline.triples(s, dir))),
     "pipe_span_invariant" -> ((s, dir) => {

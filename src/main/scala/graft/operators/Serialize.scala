@@ -259,18 +259,60 @@ object Serialize {
   /** QuickStatements rendering: `Qsubj \t Pprop \t value \t S854 \t "url"`.
     * Quantity amounts render without trailing zeros ("4", "12.5").
     */
-  def quickStatements(triples: DataFrame): DataFrame = {
+  def quickStatements(triples: DataFrame): DataFrame =
+    triples.select(concat_ws("\t",
+      col("subj"), col("pred"), qsValue,
+      lit("S854"), concat(lit("\""), col("source_url"), lit("\""))).as("qs"))
+
+  private def qsValue: Column = {
     val qty = regexp_replace(regexp_replace(
       col("obj_quantity").cast("decimal(38,10)").cast("string"),
       "0+$", ""), "\\.$", "")
-    val value = when(col("obj_kind") === "item", col("obj_qid"))
+    when(col("obj_kind") === "item", col("obj_qid"))
       .when(col("obj_kind") === "time", Dates.renderTime(col("obj_time")))
       .when(col("obj_kind") === "quantity", qty)
       .otherwise(concat(lit("\""), col("obj_text"), lit("\"")))
-    triples.select(concat_ws("\t",
-      col("subj"), col("pred"), value,
-      lit("S854"), concat(lit("\""), col("source_url"), lit("\""))).as("qs"))
   }
+
+  /** MEDIA PROVENANCE (the input_hint's interleaved-media axis, SURVEY
+    * §1.2): per text span, the `media_ref` of the nearest PRECEDING
+    * media span in the same document — the image directly above a
+    * biography sentence. One pass over the spans: explode in offset
+    * order and take a running `last(media_ref) ignoring nulls` over a
+    * strictly-preceding window frame. null when no media precedes.
+    * Output: (doc_id, sentence_offset, media_ctx) — joinable to triples
+    * on the (doc_id, sentence_offset) provenance key they already
+    * carry.
+    */
+  def mediaContext(docs: Dataset[Doc]): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("s.offset"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.toDF()
+      .select(col("doc_id"), explode(col("spans")).as("s"))
+      .withColumn("media_ctx",
+        last(when(col("s.kind") === "media", col("s.media_ref")), ignoreNulls = true)
+          .over(w))
+      .filter(col("s.kind") === "text")
+      .select(col("doc_id"), col("s.offset").as("sentence_offset"), col("media_ctx"))
+  }
+
+  /** QuickStatements with the media-provenance reference appended:
+    * `... S854 "url" S4656 "media_ref"` when the source sentence sits
+    * under a media span (pinned rendering: P4656 "Wikimedia import
+    * URL" as the import-provenance reference property), plain S854
+    * line otherwise. The join runs on the (doc_id, sentence_offset)
+    * key both sides carry; at scale both are doc_id-partitioned
+    * corpus derivatives, so AQE plans a co-partitioned join.
+    */
+  def quickStatementsWithMedia(triples: DataFrame, mediaCtx: DataFrame): DataFrame =
+    triples.join(mediaCtx, Seq("doc_id", "sentence_offset"), "left")
+      .select(concat(
+        concat_ws("\t",
+          col("subj"), col("pred"), qsValue,
+          lit("S854"), concat(lit("\""), col("source_url"), lit("\""))),
+        when(col("media_ctx").isNotNull,
+          concat(lit("\tS4656\t\""), col("media_ctx"), lit("\"")))
+          .otherwise(lit(""))).as("qs"))
 
   /** P/R evaluation vs gold (SURVEY.md §2.4 J7): inner join on the
     * statement key for TP; anti-joins both ways for FP/FN.

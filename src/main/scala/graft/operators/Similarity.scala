@@ -137,41 +137,47 @@ object Similarity {
     * two index-build jobs.
     */
   private val ivfCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Array[(Int, Array[Double])]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int), Array[(Int, Array[Double])]]()
 
   def buildIvfCentroids(spark: SparkSession, sfDir: String,
-                        k: Int, dim: Int = DefaultDim): Array[(Int, Array[Double])] =
-    ivfCache.computeIfAbsent((sfDir, k, dim),
-      _ => buildIvfCentroidsUncached(spark, sfDir, k, dim))
+                        k: Int, dim: Int = DefaultDim,
+                        iters: Int = 1): Array[(Int, Array[Double])] =
+    ivfCache.computeIfAbsent((sfDir, k, dim, iters),
+      _ => buildIvfCentroidsUncached(spark, sfDir, k, dim, iters))
 
   private def buildIvfCentroidsUncached(spark: SparkSession, sfDir: String,
-                                        k: Int, dim: Int): Array[(Int, Array[Double])] = {
+                                        k: Int, dim: Int, iters: Int): Array[(Int, Array[Double])] = {
     import spark.implicits._
     val emb = loadEmb(spark, sfDir)
     val seeds = emb.filter($"vec_id" < k)
       .orderBy($"vec_id")
       .collect()
       .map(r => r.getSeq[Double](1).toArray)
-    // One Lloyd refinement: assign all vectors to the nearest seed,
-    // take per-cell means (single distributed agg, no iteration loop).
+    // `iters` Lloyd refinements: assign all vectors to the nearest
+    // centroid (one distributed agg per round), take per-cell means.
     // Means are computed from FIXED-POINT integer sums (x·10⁹ as long):
     // a double avg()'s partial-sum merge order is randomized by the
     // shuffle, so its low bits — and through argmin, a near-tied cell
     // assignment — could vary between runs once the input has >1
     // split; integer addition is order-independent, keeping the index
-    // build bit-deterministic at any parallelism.
+    // build bit-deterministic at any parallelism. A cell left empty by
+    // a round drops out (its id simply stops appearing).
     val sums = (0 until dim).map(j =>
       sum((element_at($"vec", j + 1) * 1e9).cast("long")).as(s"s$j"))
-    val seedTable = centroidTable(spark, seeds.zipWithIndex.map { case (v, i) => (i, v) })
-    val assigned = assignCells(emb, seedTable)
-      .groupBy($"cell")
-      .agg(count(lit(1)).as("n"), sums: _*)
-      .collect()
-    // sorted by cell id: downstream positional indices must be stable
-    assigned.map { r =>
-      val n = r.getLong(1).toDouble
-      (r.getInt(0), (0 until dim).map(j => r.getLong(j + 2) / 1e9 / n).toArray)
-    }.sortBy(_._1)
+    var cents: Array[(Int, Array[Double])] =
+      seeds.zipWithIndex.map { case (v, i) => (i, v) }
+    for (_ <- 0 until iters) {
+      val assigned = assignCells(emb, centroidTable(spark, cents))
+        .groupBy($"cell")
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+      // sorted by cell id: downstream positional indices must be stable
+      cents = assigned.map { r =>
+        val n = r.getLong(1).toDouble
+        (r.getInt(0), (0 until dim).map(j => r.getLong(j + 2) / 1e9 / n).toArray)
+      }.sortBy(_._1)
+    }
+    cents
   }
 
   /** Centroid lookup table (cid:int, cvec:array<double>) from a built

@@ -165,6 +165,24 @@ object TableIO {
         .reduce(_.unionByName(_))
   }
 
+  /** Iceberg expire-snapshots analog: delete every directory under the
+    * table root the manifest does not reference — orphans from crashed
+    * attempts and snapshots dropped by an Overwrite. Safe by
+    * construction: the manifest is the commit point, so unreferenced
+    * directories are already invisible to every read. Returns the
+    * removed directory names.
+    */
+  def expireOrphans(table: String): Seq[String] = {
+    val referenced = state(table).snaps.map(_.dir).toSet
+    val root = Paths.get(table)
+    val doomed = Files.list(root).iterator().asScala.toSeq
+      .filter(p => Files.isDirectory(p) && !referenced.contains(p.getFileName.toString))
+    doomed.foreach { d =>
+      Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    doomed.map(_.getFileName.toString).sorted
+  }
+
   /** Committed per-partition row counts: (partition path, rows). */
   def partitionRows(table: String): Seq[(String, Long)] =
     state(table).parts.groupBy(_.path).toSeq.sortBy(_._1)

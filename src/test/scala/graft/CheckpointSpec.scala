@@ -164,6 +164,21 @@ class CheckpointSpec extends SparkSuite {
       .select("partition_id").distinct().count() === Buckets)
   }
 
+  test("expireOrphans removes crashed attempts and overwritten snapshots only") {
+    val dir = java.nio.file.Files.createTempDirectory("tio_expire").toString
+    val table = s"$dir/t"
+    TableIO.write(Seq((1, "a")).toDF("id", "v"), table, snapshotId = "gen1")
+    TableIO.write(Seq((2, "b")).toDF("id", "v"), table, snapshotId = "gen2") // Overwrite: gen1 unreferenced
+    Seq((99, "x")).toDF("id", "v").write.parquet(s"$table/snap-crashed") // orphan
+    val removed = TableIO.expireOrphans(table)
+    assert(removed.exists(_.startsWith("snap-gen1")), removed.toString)
+    assert(removed.contains("snap-crashed"), removed.toString)
+    // the committed snapshot survives and still reads
+    val rows = TableIO.read(spark, table).collect().map(_.getInt(0)).toSeq
+    assert(rows === Seq(2))
+    assert(TableIO.expireOrphans(table).isEmpty) // idempotent
+  }
+
   test("TableIO manifest commit + read-back") {
     val dir = java.nio.file.Files.createTempDirectory("tio").toString
     val df = Seq((1, "a"), (2, "b")).toDF("id", "v")

@@ -49,6 +49,46 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("mediaContext: nearest PRECEDING media span, null before any media") {
+    import graft.model.{Doc, Span}
+    import graft.operators.Serialize
+    val docs = Seq(
+      Doc("dA", Seq(
+        Span("text", "s0", null, 0),           // before any media -> null
+        Span("media", null, "media://m1", 1),
+        Span("text", "s2", null, 2),           // -> m1
+        Span("text", "s3", null, 3),           // -> m1 (still nearest preceding)
+        Span("media", null, "media://m2", 4),
+        Span("text", "s5", null, 5))),         // -> m2
+      Doc("dB", Seq(Span("text", "t0", null, 0)))) // no media at all
+      .toDS()
+    val ctx = Serialize.mediaContext(docs).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> Option(r.getString(2))).toMap
+    assert(ctx(("dA", 0)) === None)
+    assert(ctx(("dA", 2)) === Some("media://m1"))
+    assert(ctx(("dA", 3)) === Some("media://m1"))
+    assert(ctx(("dA", 5)) === Some("media://m2"))
+    assert(ctx(("dB", 0)) === None)
+    assert(ctx.size === 5) // media spans themselves are not rows
+  }
+
+  test("quickStatementsWithMedia appends S4656 only under a media span") {
+    import graft.model.{Doc, Span}
+    import graft.operators.Serialize
+    val docs = Corpus.fixtureCorpus(spark, 30)
+    val triples = Pipeline.textPath(docs)
+    val qs = Serialize.quickStatementsWithMedia(triples, Serialize.mediaContext(docs))
+      .collect().map(_.getString(0))
+    assert(qs.nonEmpty)
+    val withMedia = qs.filter(_.contains("S4656"))
+    assert(withMedia.nonEmpty, "fixture corpus plants media spans; some triple must sit under one")
+    withMedia.foreach { l =>
+      assert(l.matches(""".*\tS854\t"[^"]*"\tS4656\t"media://[^"]*"$"""), l)
+    }
+    // every line still carries the S854 source reference
+    qs.foreach(l => assert(l.contains("\tS854\t"), l))
+  }
+
   test("media features: deterministic, bounded, k-dim") {
     val f = Multimodal.mediaFeatures(meta, 8)
     val rows = f.select($"media_ref", $"feat").collect()
