@@ -129,6 +129,9 @@ object SparkEntry {
     "q_embed_dims" -> ((s, dir) =>
       s.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"), size(col("embedding")).as("dim"), col("label"))),
+    // int8 quantization of the embedding table (4x storage at 100 TB)
+    // with measured per-label reconstruction error
+    "q_embed_quant" -> ((s, dir) => Similarity.quantizeError(s, dir)),
     "q_ann_brute" -> ((s, dir) => Similarity.bruteForceTopK(s, dir, 5, 5)),
     "q_ann_lsh" -> ((s, dir) => Similarity.lshTopK(s, dir, 5, 5)),
     "q_ann_ivf" -> ((s, dir) => // index build (an action) + probe

@@ -275,6 +275,62 @@ object Similarity {
       .withColumn("recall", round($"n_hit" / $"n_exact", 6))
   }
 
+  /** Per-dimension (min, max) of an embedding corpus — the quantizer
+    * calibration stats. An explicit index-build-style action (64
+    * doubles collected), memoized per dir like the IVF index.
+    */
+  private val quantCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), (Seq[Double], Seq[Double])]()
+
+  def quantStats(spark: SparkSession, sfDir: String,
+                 dim: Int = DefaultDim): (Seq[Double], Seq[Double]) =
+    quantCache.computeIfAbsent((sfDir, dim), _ => {
+      import spark.implicits._
+      val emb = loadEmb(spark, sfDir)
+      val aggs = (0 until dim).flatMap(j => Seq(
+        min(element_at($"vec", j + 1)).as(s"mn$j"),
+        max(element_at($"vec", j + 1)).as(s"mx$j")))
+      val r = emb.agg(aggs.head, aggs.tail: _*).first()
+      ((0 until dim).map(j => r.getDouble(2 * j)),
+        (0 until dim).map(j => r.getDouble(2 * j + 1)))
+    })
+
+  /** INT8 embedding quantization + measured reconstruction error — the
+    * storage scale path: a float32 embedding table quantizes 4× smaller
+    * (byte per component) with bounded recall loss. Per-dim affine
+    * code: q = round((x-min)/(max-min)·255)-128; all Catalyst
+    * (indexed transform against broadcast-literal calibration arrays).
+    * Output per label: vector count and RMSE stats of dequantized vs
+    * original — averages from FIXED-POINT integer sums (deterministic
+    * under shuffle-order like the IVF build).
+    */
+  def quantizeError(spark: SparkSession, sfDir: String,
+                    dim: Int = DefaultDim): DataFrame = {
+    import spark.implicits._
+    val (mn, mx) = quantStats(spark, sfDir, dim)
+    val mnC = typedlit(mn)
+    val rangeC = typedlit(mn.zip(mx).map { case (a, b) => math.max(b - a, 1e-12) })
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"label",
+        transform($"embedding", x => x.cast("double")).as("vec"))
+    val q = transform($"vec", (x, i) =>
+      (round((x - element_at(mnC, i + 1)) / element_at(rangeC, i + 1) * 255)
+        - 128).cast("tinyint"))
+    val deq = transform($"quant", (b, i) =>
+      element_at(mnC, i + 1) +
+        (b.cast("double") + 128.0) * element_at(rangeC, i + 1) / 255.0)
+    emb.withColumn("quant", q)
+      .withColumn("rmse",
+        sqrt(graft.functions.VectorOps.vec_l2sq($"vec", deq) / dim))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(($"rmse" * 1e9).cast("long")) / 1e9 / count(lit(1)))
+          .cast("double").as("avg_rmse_raw"),
+        max(round($"rmse", 6)).as("max_rmse"))
+      .select($"label", $"n_vecs", round($"avg_rmse_raw", 6).as("avg_rmse"),
+        $"max_rmse")
+  }
+
   /** Embedding-cosine near-duplicate pairs (bucketed; cos ≥ threshold). */
   def cosineDupPairs(spark: SparkSession, sfDir: String,
                      threshold: Double, bits: Int = 12,

@@ -125,6 +125,16 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("media-provenance join is an equi-join, no cartesian, no extra corpus scan class") {
+    import graft.operators.Serialize
+    val docs = Pipeline.docsFor(spark, sf)
+    val p = plan(Serialize.quickStatementsWithMedia(
+      Pipeline.triples(spark, sf), Serialize.mediaContext(docs)))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("scalar text analysis stays inside whole-stage codegen") {
     val p = SparkEntry.queries("q_quality")(spark, sf)
       .queryExecution.explainString(SimpleMode)

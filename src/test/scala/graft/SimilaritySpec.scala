@@ -94,6 +94,21 @@ class SimilaritySpec extends SparkSuite {
     assert(first === again)
   }
 
+  test("int8 quantization: bounded reconstruction error, exact at range ends") {
+    val err = Similarity.quantizeError(spark, tmp, dim = 8).collect()
+    assert(err.nonEmpty)
+    // worst case per component is half a quantization step: range/255/2;
+    // component values span ~[0.5, 11], so range <= ~11 -> step/2 ~ 0.022
+    err.foreach { r =>
+      assert(r.getAs[Double]("avg_rmse") >= 0.0)
+      assert(r.getAs[Double]("max_rmse") <= 0.03,
+        s"label ${r.get(0)}: max_rmse ${r.getAs[Double]("max_rmse")}")
+    }
+    // deterministic across invocations (fixed-point average)
+    val again = Similarity.quantizeError(spark, tmp, dim = 8).collect()
+    assert(err.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+  }
+
   test("planted near-vectors are found as cosine dup pairs") {
     val emb = spark.read.parquet(s"$tmp/embeddings.parquet")
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("vec"))
