@@ -305,6 +305,7 @@ object SparkEntry {
       val table = s"${sys.props("java.io.tmpdir")}/graft_sink_" +
         dir.replaceAll("[^a-zA-Z0-9.]", "_")
       TableIO.write(flat, table, partitionBy = Seq("pred_bucket"), snapshotId = "verify")
+      TableIO.expireOrphans(table) // drop generations the Overwrite unreferenced
       TableIO.read(s, table)
         .groupBy(col("pred_bucket"))
         .agg(count(lit(1)).as("n_rows"), countDistinct(col("pred")).as("n_preds"))
