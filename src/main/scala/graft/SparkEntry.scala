@@ -30,6 +30,10 @@ object SparkEntry {
     docsNCache.computeIfAbsent(dir,
       d => s.read.parquet(s"$d/documents.parquet").count()).longValue()
 
+  /** Committed output dir of the memoized pipe_stream run, per input. */
+  private val streamOutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- aggregations / ranking (SURVEY §2.3) ----
     "q_tf" -> ((s, dir) => Ranking.tf(Ranking.terms(s, dir))),
@@ -169,12 +173,18 @@ object SparkEntry {
     "q_pos_tag" -> ((s, dir) => Misc.posTagTable(s, dir)),
     // streaming surface under the same correctness gate: the full
     // pipeline run as an AvailableNow streaming query into a fresh
-    // temp table, summarized per predicate from the committed output
+    // temp table, summarized per predicate from the committed output.
+    // The run is memoized per input dir — a streaming query is an
+    // action by nature, and without the cache every construction
+    // (Explain, repeated Verify) would re-run the whole pipeline
     "pipe_stream" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
-      graft.streaming.Streaming.runAvailableNow(s, s"$dir/documents.parquet",
-        s"$tmp/ckpt", s"$tmp/out")
-      s.read.parquet(s"$tmp/out")
+      val out = streamOutCache.computeIfAbsent(dir, _ => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+        graft.streaming.Streaming.runAvailableNow(s, s"$dir/documents.parquet",
+          s"$tmp/ckpt", s"$tmp/out")
+        s"$tmp/out"
+      })
+      s.read.parquet(out)
         .groupBy(col("pred"))
         .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
     }),
@@ -302,8 +312,10 @@ object SparkEntry {
       import graft.sources.TableIO
       val flat = Pipeline.flatten(Pipeline.triples(s, dir))
         .withColumn("pred_bucket", pmod(hash(col("pred")), lit(8)))
+      // per-session path: expireOrphans below must never see (and
+      // delete) a CONCURRENT session's in-flight snapshot directory
       val table = s"${sys.props("java.io.tmpdir")}/graft_sink_" +
-        dir.replaceAll("[^a-zA-Z0-9.]", "_")
+        s"${dir}_${s.sparkContext.applicationId}".replaceAll("[^a-zA-Z0-9.]", "_")
       TableIO.write(flat, table, partitionBy = Seq("pred_bucket"), snapshotId = "verify")
       TableIO.expireOrphans(table) // drop generations the Overwrite unreferenced
       TableIO.read(s, table)
@@ -507,9 +519,12 @@ object SparkEntry {
       """SELECT source, count(*) AS n_docs FROM documents
          WHERE lang = 'en' GROUP BY source""",
     // independent re-derivation of the streamed tumbling-window agg:
-    // 6h windows aligned at the UTC epoch = floor(epoch/21600)
+    // 6h windows aligned at the UTC epoch = floor(epoch/21600).
+    // make_timestamp(microseconds) stays timezone-free end to end —
+    // to_timestamp would render in DuckDB's session TimeZone, which the
+    // driver does not pin (Spark's side IS pinned to UTC)
     "pipe_stream_window" ->
-      """SELECT strftime(to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)),
+      """SELECT strftime(make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) * 1000000),
                          '%Y-%m-%d %H:%M:%S') AS win_start,
                 event_type, count(*) AS n,
                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents

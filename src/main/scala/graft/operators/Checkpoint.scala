@@ -100,16 +100,28 @@ object Checkpoint {
     val spark = docs.sparkSession
     import graft.sources.TableIO
 
+    // the stage output table belongs to exactly one (runId, stage):
+    // adopting another run's committed buckets as this run's work (or
+    // unioning two runs' rows in the returned read) must fail loudly,
+    // not silently — every committed snapshot id must match ours
+    val snapId = s"$runId-$stage"
+    val foreign = TableIO.snapshotIds(outTable).filterNot(_ == snapId)
+    require(foreign.isEmpty,
+      s"outTable $outTable already holds snapshots of ${foreign.mkString(",")} — " +
+        s"one output table per (runId, stage); this run is $snapId")
+
+    def bucketOfPath(p: String): Option[Int] =
+      if (p.startsWith("__bucket=")) Some(p.stripPrefix("__bucket=").toInt) else None
+
     // reconcile committed-but-unrecorded buckets
     val done0 = okBuckets(ckptOrEmpty(spark, checkpointTable), runId, stage)
     if (TableIO.manifest(outTable).isDefined) {
       val committedBuckets = TableIO.partitionRows(outTable)
-        .map(_._1).filter(_.startsWith("__bucket="))
-        .map(_.stripPrefix("__bucket=").toInt).toSet
+        .map(_._1).flatMap(bucketOfPath).toSet
       val unrecorded = committedBuckets -- done0
       if (unrecorded.nonEmpty) {
         val prev = TableIO.readWhere(spark, outTable,
-          p => unrecorded.contains(p.stripPrefix("__bucket=").toInt))
+          p => bucketOfPath(p).exists(unrecorded.contains))
         append(stageMetrics(prev.drop("__bucket"), runId, stage, buckets, 0L)
           .select(checkpointCols: _*), checkpointTable)
       }
@@ -131,14 +143,12 @@ object Checkpoint {
     // (manifest-driven pruning), plus a zero row for every pending
     // bucket the output skipped entirely
     val wrotePending = TableIO.partitionRows(outTable).map(_._1)
-      .exists(p => p.startsWith("__bucket=") &&
-        pendingIds.contains(p.stripPrefix("__bucket=").toInt))
+      .exists(p => bucketOfPath(p).exists(pendingIds.contains))
     val base =
       if (wrotePending)
         stageMetrics(
-          TableIO.readWhere(spark, outTable, p =>
-            p.startsWith("__bucket=") &&
-              pendingIds.contains(p.stripPrefix("__bucket=").toInt))
+          TableIO.readWhere(spark, outTable,
+            p => bucketOfPath(p).exists(pendingIds.contains))
             .drop("__bucket"),
           runId, stage, buckets, wallMs)
       else // zero rows committed for the pending buckets: all-zero rows

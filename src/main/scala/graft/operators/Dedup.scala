@@ -284,10 +284,17 @@ object Dedup {
       // labels are MIN-MONOTONE per node, so the label total strictly
       // decreases until the fixpoint: an unchanged total IS convergence.
       // One partial aggregate over the cached round — no per-round
-      // change-detection join (a shuffle that grows with the node count)
+      // change-detection join (a shuffle that grows with the node count).
+      // ONLY VALID FOR NUMERIC ID COLUMNS (decided by schema type): for
+      // strings, min() is lexicographic while the sum is numeric-or-
+      // null — per-node deltas could cancel (or null == null would read
+      // as instant convergence) and silently truncate propagation — so
+      // any non-numeric id type uses the exact change-detection join.
+      val numericIds = labels.schema("label").dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType]
       def labelSum(df: DataFrame): java.math.BigDecimal =
         df.agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0)
-      var prevSum = labelSum(labels)
+      var prevSum = if (numericIds) labelSum(labels) else null
       var it = 0
       var converged = false
       while (!converged && it < maxIter) {
@@ -296,10 +303,17 @@ object Dedup {
         // extra materialization job an intermediate checkpoint costs
         val next = pointerJump(propagateMinLabel(edges, labels))
           .localCheckpoint()
-        val s = labelSum(next)
+        if (numericIds) {
+          val s = labelSum(next)
+          converged = s == prevSum
+          prevSum = s
+        } else {
+          converged = next.as("n")
+            .join(labels.as("o"), Seq("node"))
+            .filter(col("n.label") =!= col("o.label"))
+            .limit(1).count() == 0L
+        }
         labels = next
-        converged = s == prevSum
-        prevSum = s
         it += 1
       }
       val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))

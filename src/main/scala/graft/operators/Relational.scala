@@ -95,7 +95,7 @@ object Relational {
     * (round-2 VERDICT "What's wrong" #3). 64 longs per dir.
     */
   private val hotCustkeyCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Array[Long]]()
 
   /** The same join through the salted shuffle-join path — must equal
     * joinBroadcast exactly (the oracle is the plain SQL join).
@@ -105,7 +105,7 @@ object Relational {
     import s.implicits._
     val probe = t(s, dir, "orders").select($"o_custkey", $"o_totalprice")
     val dim = t(s, dir, "customer").select($"c_custkey", $"c_mktsegment")
-    val hot = hotCustkeyCache.computeIfAbsent(dir, _ =>
+    val hot = hotCustkeyCache.computeIfAbsent((dir, hotK), _ =>
       Skew.heavyHitters(probe, "o_custkey", hotK)
         .select($"o_custkey").collect().map(_.getLong(0)))
     Skew.saltedJoin(probe, dim, Seq("o_custkey"), Seq("c_custkey"), salt, hotK,

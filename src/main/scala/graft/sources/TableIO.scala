@@ -105,8 +105,18 @@ object TableIO {
         .getOrElse(TableState(partitionBy, Nil, Nil))
     require(prior.partitionCols == partitionBy,
       s"append partitioning ${partitionBy.mkString(",")} must match table's ${prior.partitionCols.mkString(",")}")
-    val snapDir = "snap-" + snapshotId.replaceAll("[^a-zA-Z0-9._-]", "_") +
-      "-" + snapCounter.incrementAndGet()
+    // attempt-unique across JVMs: a resumed run in a FRESH JVM must
+    // never reuse a prior attempt's directory name (a per-JVM counter
+    // alone restarts at 0 and the Overwrite below would destroy the
+    // previously committed snapshot's files in place); nanoTime +
+    // counter + an existence probe make collisions impossible
+    def freshDir(): String = {
+      val base = "snap-" + snapshotId.replaceAll("[^a-zA-Z0-9._-]", "_") +
+        "-" + java.lang.Long.toHexString(System.nanoTime()) +
+        "-" + snapCounter.incrementAndGet()
+      if (Files.exists(Paths.get(table, base))) freshDir() else base
+    }
+    val snapDir = freshDir()
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(s"$table/$snapDir")
@@ -175,13 +185,19 @@ object TableIO {
   def expireOrphans(table: String): Seq[String] = {
     val referenced = state(table).snaps.map(_.dir).toSet
     val root = Paths.get(table)
-    val doomed = Files.list(root).iterator().asScala.toSeq
-      .filter(p => Files.isDirectory(p) && !referenced.contains(p.getFileName.toString))
+    val doomed = scala.util.Using.resource(Files.list(root))(
+      _.iterator().asScala.toSeq
+        .filter(p => Files.isDirectory(p) && !referenced.contains(p.getFileName.toString)))
     doomed.foreach { d =>
-      Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      scala.util.Using.resource(Files.walk(d))(
+        _.iterator().asScala.toSeq.reverse.foreach(Files.delete))
     }
     doomed.map(_.getFileName.toString).sorted
   }
+
+  /** Distinct snapshot ids committed to a table (empty if no manifest). */
+  def snapshotIds(table: String): Seq[String] =
+    loadState(table).map(_.snaps.map(_.id).distinct).getOrElse(Nil)
 
   /** Committed per-partition row counts: (partition path, rows). */
   def partitionRows(table: String): Seq[(String, Long)] =

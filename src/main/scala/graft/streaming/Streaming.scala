@@ -149,7 +149,19 @@ object Streaming {
     * Structured Streaming agg shape (readStream -> watermark -> window
     * -> writeStream to memory sink).
     */
-  def eventWindowCounts(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Memory-sink table name of the memoized run, per (session, dir):
+    * every call registered a fresh never-dropped sink table and re-ran
+    * the stream — unbounded driver growth under repeated construction.
+    */
+  private val windowRunCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), String]()
+
+  def eventWindowCounts(spark: SparkSession, sfDir: String): DataFrame =
+    spark.table(windowRunCache.computeIfAbsent(
+      (System.identityHashCode(spark), sfDir),
+      _ => runEventWindowCounts(spark, sfDir)))
+
+  private def runEventWindowCounts(spark: SparkSession, sfDir: String): String = {
     import spark.implicits._
     // FileStreamSource requires a directory: stage the table file into one
     val path = stageDir(s"$sfDir/events.parquet")
@@ -171,6 +183,6 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    name
   }
 }

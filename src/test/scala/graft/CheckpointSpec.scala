@@ -179,6 +179,20 @@ class CheckpointSpec extends SparkSuite {
     assert(TableIO.expireOrphans(table).isEmpty) // idempotent
   }
 
+  test("runStage refuses an outTable already committed by a different run/stage") {
+    val dir = java.nio.file.Files.createTempDirectory("ckpt_foreign").toString
+    val docs = Corpus.fixtureCorpus(spark, 20)
+    Checkpoint.runStage(docs, s"$dir/ckpt1", "run1", "triples", 4,
+      s"$dir/out")(d => Pipeline.textPath(d))
+    // a different runId must not silently adopt (or union with) run1's
+    // committed buckets in the same output table
+    val e = intercept[IllegalArgumentException] {
+      Checkpoint.runStage(docs, s"$dir/ckpt2", "run2", "triples", 4,
+        s"$dir/out")(d => Pipeline.textPath(d))
+    }
+    assert(e.getMessage.contains("run1-triples"), e.getMessage)
+  }
+
   test("TableIO manifest commit + read-back") {
     val dir = java.nio.file.Files.createTempDirectory("tio").toString
     val df = Seq((1, "a"), (2, "b")).toDF("id", "v")

@@ -111,6 +111,17 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("clusters with STRING ids: long chain still fully collapses") {
+    // non-numeric ids void the label-sum convergence shortcut; the join
+    // fallback must still drive the chain to a single component
+    val pairs = (0 until 40)
+      .map(i => (f"doc-$i%03d", f"doc-${i + 1}%03d")).toDF("doc_a", "doc_b")
+    val c = Dedup.clusters(pairs, maxIter = 12).collect()
+    assert(c.length === 41)
+    assert(c.forall(_.getString(1) === "doc-000"),
+      c.map(r => (r.getString(0), r.getString(1))).toSeq.toString)
+  }
+
   test("incrementalPairs: twins hit their old bases; no old-x-old pair") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val withTwins = Dedup.withPlantedDups(real, 5)
