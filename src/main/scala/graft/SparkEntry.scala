@@ -42,6 +42,16 @@ object SparkEntry {
     "q_popularity" -> ((s, dir) => Ranking.popularity(Ranking.terms(s, dir), docsN(s, dir))),
     "q_lu_rank" -> ((s, dir) => Ranking.luRank(Ranking.terms(s, dir), docsN(s, dir), 50)),
     "q_lu_distribution" -> ((s, dir) => Ranking.distribution(s, dir)),
+    // full CUBE over (lang, source) — the remaining grouping-sets shape
+    // next to q_lu_distribution's ROLLUP
+    "q_lu_cube" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+          coalesce(col("source"), lit("ALL")).as("source"),
+          col("n_docs"), col("sum_chars"))),
     // ---- relational coverage: joins / windows / set ops / json (SURVEY §2.4-2.6) ----
     "q_agg_lineitem" -> ((s, dir) => Relational.aggLineitem(s, dir)),
     "q_join_broadcast" -> ((s, dir) => Relational.joinBroadcast(s, dir)),
@@ -397,6 +407,10 @@ object SparkEntry {
       """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
                 count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents GROUP BY ROLLUP(lang, source)""",
+    "q_lu_cube" ->
+      """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+                count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY CUBE(lang, source)""",
     // NOTE: every integer sum is wrapped in an OUTER CAST(... AS BIGINT):
     // DuckDB sum(BIGINT) returns HUGEINT, which the driver's pandas path
     // coerces to float64 and the hash compare then diverges from Spark's
