@@ -285,13 +285,22 @@ object Dedup {
       // decreases until the fixpoint: an unchanged total IS convergence.
       // One partial aggregate over the cached round — no per-round
       // change-detection join (a shuffle that grows with the node count).
-      // ONLY VALID FOR NUMERIC ID COLUMNS (decided by schema type): for
-      // strings, min() is lexicographic while the sum is numeric-or-
-      // null — per-node deltas could cancel (or null == null would read
-      // as instant convergence) and silently truncate propagation — so
-      // any non-numeric id type uses the exact change-detection join.
-      val numericIds = labels.schema("label").dataType
-        .isInstanceOf[org.apache.spark.sql.types.NumericType]
+      // ONLY VALID FOR INTEGRAL ID COLUMNS (decided by schema type):
+      // for strings, min() is lexicographic while the sum is numeric-
+      // or-null — per-node deltas could cancel (or null == null would
+      // read as instant convergence); for Float/Double (or scaled
+      // decimal) ids, a label decrease smaller than what decimal(38,0)
+      // resolves rounds to an unchanged total and declares convergence
+      // early (round-3 advisor). Both use the exact change-detection
+      // join; only exact integer types take the sum shortcut.
+      val numericIds = labels.schema("label").dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => true
+        case d: org.apache.spark.sql.types.DecimalType => d.scale == 0
+        case _ => false
+      }
       def labelSum(df: DataFrame): java.math.BigDecimal =
         df.agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0)
       var prevSum = if (numericIds) labelSum(labels) else null

@@ -41,7 +41,10 @@ object Skew {
     val hkNames = probeKeys.indices.map(i => s"__hk$i")
     val hot = hotKeys match {
       case Some(df) =>
-        df.toDF(hkNames: _*).withColumn("__hot", lit(true))
+        // duplicate key rows in a caller-supplied hot set would fan out
+        // BOTH join sides and duplicate result rows (round-3 advisor) —
+        // dedup here so "identical rows for ANY hot set" actually holds
+        df.toDF(hkNames: _*).distinct().withColumn("__hot", lit(true))
       case None =>
         // pass 1: heavy-hitter key set from the probe side (tiny, broadcast)
         val hotCols = probeKeys.zipWithIndex.map { case (k, i) => col(k).as(s"__hk$i") }

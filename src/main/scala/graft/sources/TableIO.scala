@@ -39,15 +39,44 @@ object TableIO {
 
   private case class Snap(id: String, dir: String, rows: Long)
   private case class Part(dir: String, path: String, rows: Long)
-  private case class TableState(partitionCols: Seq[String], snaps: Seq[Snap], parts: Seq[Part])
+  private case class TableState(partitionCols: Seq[String], snaps: Seq[Snap],
+                                parts: Seq[Part], schemaJson: Option[String] = None)
 
   private def manifestPath(table: String) = Paths.get(table, "_MANIFEST")
+
+  /** Per-table lock: manifest commit is a read-modify-write and
+    * expireOrphans deletes unreferenced dirs — two concurrent writers
+    * (or a write racing an expire) on the SAME table in this JVM must
+    * serialize or a snapshot can be lost / an in-flight snap dir
+    * deleted pre-commit (round-3 advisor). Tables are applicationId-
+    * scoped, so same-JVM is the only exposed concurrency.
+    */
+  private val tableLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(table: String): Object =
+    tableLocks.computeIfAbsent(
+      Paths.get(table).toAbsolutePath.normalize.toString, _ => new Object)
+
+  /** Render one partition path segment exactly as Spark writes it on
+    * disk: nulls become the Hive default partition name and special
+    * chars are URL-style escaped — a raw "col=value" render would
+    * produce manifest paths matching no directory for string values
+    * with spaces/slashes (round-3 advisor).
+    */
+  private def partSegment(col: String, v: Any): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val vs =
+      if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+      else ExternalCatalogUtils.escapePathName(v.toString)
+    s"$col=$vs"
+  }
 
   private def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
 
   private def render(st: TableState): String = {
     val sb = new StringBuilder
-    sb ++= s"""{"type":"table","version":2,"partition_cols":"${esc(st.partitionCols.mkString(","))}"}\n"""
+    val schemaField =
+      st.schemaJson.map(s => s""","schema":"${esc(s)}"""").getOrElse("")
+    sb ++= s"""{"type":"table","version":2,"partition_cols":"${esc(st.partitionCols.mkString(","))}"$schemaField}\n"""
     st.snaps.foreach(s =>
       sb ++= s"""{"type":"snapshot","id":"${esc(s.id)}","dir":"${esc(s.dir)}","row_count":${s.rows}}\n""")
     st.parts.foreach(p =>
@@ -75,9 +104,10 @@ object TableIO {
       val pcols = of("table").headOption
         .flatMap(_.get("partition_cols")).filter(_.nonEmpty)
         .map(_.split(",").toSeq).getOrElse(Nil)
+      val schema = of("table").headOption.flatMap(_.get("schema"))
       val snaps = of("snapshot").map(m => Snap(m("id"), m("dir"), m("row_count").toLong))
       val parts = of("partition").map(m => Part(m("dir"), m("path"), m("rows").toLong))
-      Some(TableState(pcols, snaps, parts))
+      Some(TableState(pcols, snaps, parts, schema))
     }
 
   private def commitState(table: String, st: TableState): Unit = {
@@ -98,7 +128,7 @@ object TableIO {
     */
   def write(df: DataFrame, table: String, partitionBy: Seq[String] = Nil,
             snapshotId: String = "s1",
-            mode: SaveMode = SaveMode.Overwrite): Manifest = {
+            mode: SaveMode = SaveMode.Overwrite): Manifest = lockFor(table).synchronized {
     val spark = df.sparkSession
     val prior =
       (if (mode == SaveMode.Append) loadState(table) else None)
@@ -128,7 +158,7 @@ object TableIO {
           committed.groupBy(partitionBy.map(col): _*).count().collect().toSeq
             .map { r =>
               val path = partitionBy.zipWithIndex
-                .map { case (c, i) => s"$c=${r.get(i)}" }.mkString("/")
+                .map { case (c, i) => partSegment(c, r.get(i)) }.mkString("/")
               Part(snapDir, path, r.getLong(partitionBy.length))
             }.sortBy(_.path)
         else Seq(Part(snapDir, "", committed.count()))
@@ -136,7 +166,11 @@ object TableIO {
         case _: org.apache.spark.sql.AnalysisException => Nil
       }
     val snap = Snap(snapshotId, snapDir, parts.map(_.rows).sum)
-    val st = TableState(partitionBy, prior.snaps :+ snap, prior.parts ++ parts)
+    // the committed schema rides in the manifest so a legitimately
+    // zero-row table still reads back as an empty typed DataFrame
+    // instead of failing every resume forever (round-3 advisor)
+    val st = TableState(partitionBy, prior.snaps :+ snap, prior.parts ++ parts,
+      Some(df.schema.json))
     commitState(table, st)
     Manifest(snapshotId, st.parts.map(_.rows).sum, partitionBy)
   }
@@ -149,8 +183,17 @@ object TableIO {
   def read(spark: SparkSession, table: String): DataFrame = {
     val st = state(table)
     val dirs = st.parts.map(_.dir).distinct
-    require(dirs.nonEmpty, s"table $table has no committed data")
-    dirs.map(d => spark.read.parquet(s"$table/$d")).reduce(_.unionByName(_))
+    if (dirs.isEmpty) {
+      // a committed-but-empty table (a stage whose entire output is
+      // legitimately zero rows) reads back as an empty DataFrame of the
+      // manifest-recorded schema — throwing here made every resume of
+      // such a stage a permanent failure (round-3 advisor)
+      val schema = st.schemaJson.getOrElse(
+        throw new IllegalArgumentException(s"table $table has no committed data"))
+      spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.DataType.fromJson(schema)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+    } else dirs.map(d => spark.read.parquet(s"$table/$d")).reduce(_.unionByName(_))
   }
 
   /** Manifest-driven partition-pruned read: only committed partitions
@@ -182,7 +225,7 @@ object TableIO {
     * directories are already invisible to every read. Returns the
     * removed directory names.
     */
-  def expireOrphans(table: String): Seq[String] = {
+  def expireOrphans(table: String): Seq[String] = lockFor(table).synchronized {
     val referenced = state(table).snaps.map(_.dir).toSet
     val root = Paths.get(table)
     val doomed = scala.util.Using.resource(Files.list(root))(

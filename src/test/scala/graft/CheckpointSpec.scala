@@ -204,4 +204,31 @@ class CheckpointSpec extends SparkSuite {
       TableIO.read(spark, s"$dir/never-written")
     }
   }
+
+  test("string partition values with spaces/slashes round-trip the manifest") {
+    // Spark escapes partition directory names; the manifest must render
+    // the same escaped form or readWhere silently matches nothing
+    val dir = java.nio.file.Files.createTempDirectory("tio-esc").toString
+    val df = Seq((1, "a b"), (2, "x/y"), (3, "plain"), (4, null))
+      .toDF("id", "part")
+    TableIO.write(df, s"$dir/t", partitionBy = Seq("part"), snapshotId = "s1")
+    val byPart = TableIO.partitionRows(s"$dir/t").toMap
+    assert(byPart.values.sum === 4)
+    // every manifest path resolves to real on-disk data
+    for ((p, _) <- byPart) {
+      val got = TableIO.readWhere(spark, s"$dir/t", _ == p).count()
+      assert(got === 1, s"partition path $p read back $got rows")
+    }
+    assert(byPart.keySet.exists(_.contains("__HIVE_DEFAULT_PARTITION__")))
+    assert(TableIO.read(spark, s"$dir/t").count() === 4)
+  }
+
+  test("a committed zero-row table reads back empty instead of failing resume") {
+    val dir = java.nio.file.Files.createTempDirectory("tio-empty").toString
+    val df = Seq((1, "a")).toDF("id", "v").filter($"id" > 99)
+    TableIO.write(df, s"$dir/t", snapshotId = "s1")
+    val back = TableIO.read(spark, s"$dir/t")
+    assert(back.count() === 0)
+    assert(back.columns.toSeq === Seq("id", "v"))
+  }
 }
