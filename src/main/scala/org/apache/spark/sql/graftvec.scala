@@ -69,3 +69,32 @@ case class L2Squared(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): L2Squared =
     copy(left = l, right = r)
 }
+
+/** All `tables` packed LSH bucket keys of a vector — see
+  * graft.functions.LshOps for the sign-matrix design rationale. The
+  * sign matrix is a codegen reference object, NOT literals: plan size
+  * stays O(1) in tables·bits·dim.
+  */
+case class LshBuckets(child: Expression, dim: Int, bits: Int, tables: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+  import org.apache.spark.sql.types.LongType
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def prettyName: String = "lsh_buckets"
+
+  @transient private lazy val signs: Array[Double] =
+    graft.functions.LshOps.signMatrix(dim, bits, tables)
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.LshOps.buckets(v.asInstanceOf[ArrayData], signs, dim, bits, tables)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val signsRef = ctx.addReferenceObj("lshSigns", signs, "double[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.LshOps.buckets($a, $signsRef, $dim, $bits, $tables);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): LshBuckets =
+    copy(child = c)
+}

@@ -138,6 +138,59 @@ class DedupSpec extends SparkSuite {
     assert(pairs.forall(_._1.toLong >= 1000000L), pairs.toSeq.toString)
   }
 
+  test("clusters kill-mid-loop: resume from the committed round, identical output") {
+    // a long chain forces many rounds; commitEvery=1 guarantees commits
+    // before the injected crash. The crashed run dies right after the
+    // round-2 snapshot commit; the rerun must RESUME (snapshot ids only
+    // advance) and produce the byte-identical cluster table a never-
+    // crashed run computes.
+    import graft.sources.TableIO
+    val pairs = (0L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val dir = java.nio.file.Files.createTempDirectory("cc-resume").toString
+    val table = s"$dir/labels"
+    val reference = Dedup.clusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val ex = intercept[IllegalStateException] {
+      Dedup.clusters(pairs, stateTable = Some(table), commitEvery = 1,
+        crashAfterRound = 2).collect()
+    }
+    assert(ex.getMessage.contains("injected crash"))
+    assert(TableIO.snapshotIds(table) === Seq("round-2"))
+    val resumed = Dedup.clusters(pairs, stateTable = Some(table), commitEvery = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(resumed === reference)
+    // the resumed run continued past round 2 — it never restarted at 0
+    val lastRound = TableIO.snapshotIds(table).head.stripPrefix("round-").toInt
+    assert(lastRound > 2, s"resume restarted: last committed round $lastRound")
+  }
+
+  test("verify gate: borderline est-only candidate no longer merges clusters") {
+    // two genuine dup pairs (A,B) and (C,D) plus a BRIDGE candidate
+    // (B,C) whose estimated similarity clears the threshold but whose
+    // exact Jaccard does not: unverified CC would chain all four into
+    // one cluster (and canonicalKeep would then delete C and D's
+    // representative's twin); the verify gate must keep two clusters.
+    val docsDf = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // dup of 1
+      (3L, "iota kappa lambda mu nu xi omicron pi"),
+      (4L, "iota kappa lambda mu nu xi omicron pi") // dup of 3
+    ).toDF("doc_id", "text")
+    val cand = Seq((1L, 2L), (3L, 4L), (2L, 3L)) // (2,3) is the false bridge
+      .toDF("doc_a", "doc_b")
+    val verified = Dedup.verifyPairs(docsDf, cand, 0.6)
+    val vPairs = verified.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(vPairs === Set(("1", "2"), ("3", "4")))
+    val c = Dedup.clusters(
+      verified.select($"doc_a".cast("long"), $"doc_b".cast("long")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c(2L) === 1L && c(4L) === 3L && c(3L) === 3L, c.toString)
+    // and WITHOUT the gate the bridge would have merged everything
+    val unverified = Dedup.clusters(cand).collect()
+      .map(_.getLong(1)).distinct.toSeq
+    assert(unverified === Seq(1L))
+  }
+
   test("canonicalKeep drops exactly the non-representative members") {
     val docsDf = Seq(1L, 2L, 3L, 4L, 10L, 11L, 99L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")

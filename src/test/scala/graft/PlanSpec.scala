@@ -75,6 +75,39 @@ class PlanSpec extends SparkSuite {
     assert(cp.contains("Window"), cp)
   }
 
+  test("LSH bucketing plan size is O(1) in tables x bits x dim (no literal hyperplanes)") {
+    import graft.operators.Similarity
+    val emb = Similarity.loadEmbeddings(spark, sf)
+    // at 12 bits x 4 tables x 64 dims the literal form inlined ~3k
+    // ±1.0 array literals per bucketed side; the native expression
+    // ships the sign matrix as a codegen reference object instead
+    for (df <- Seq(Similarity.cosineDupPairsOf(emb, 0.99),
+                   Similarity.lshTopK(spark, sf, 5, 5))) {
+      val p = plan(df)
+      assert(p.contains("lsh_buckets"), p)
+      assert(countOf(p, "-1.0") === 0, "literal hyperplane leaked into the plan")
+      // doubling the bit/table width must not grow the plan
+      val wide = plan(Similarity.cosineDupPairsOf(emb, 0.99, bits = 24, tables = 8))
+      assert(math.abs(wide.length - plan(Similarity.cosineDupPairsOf(emb, 0.99)).length) < 200, wide.length)
+    }
+  }
+
+  test("incremental dedup reads the committed index for the corpus side") {
+    // the corpus side must scan the committed banded-signature table,
+    // never re-minhash documents.parquet — only the FRESH batch subtree
+    // (base scan + planted-copy scan) touches the documents table
+    val df = SparkEntry.queries("q_dedup_incremental")(spark, sf)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.mkString(",")
+    }
+    assert(scans.count(_.contains("graft_dedup_idx")) === 2, scans.mkString("\n"))
+    // the bucket SELF-JOIN lists each subtree once per side pre-AQE:
+    // fresh = (base ∪ planted-copy) × 2 sides = 4 documents scans; the
+    // recompute-everything form added the corpus's 2 × 2 sides = 8
+    assert(scans.count(_.contains("documents.parquet")) === 4, scans.mkString("\n"))
+  }
+
   test("cluster-collapse iteration: equi-join + hash agg, no cartesian") {
     import graft.operators.Dedup
     import spark.implicits._

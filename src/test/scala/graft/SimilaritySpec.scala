@@ -130,4 +130,35 @@ class SimilaritySpec extends SparkSuite {
     assert(bad === 0)
     assert(pairs.count() > 0)
   }
+
+  test("native lsh_buckets is bit-identical to the literal hyperplane form") {
+    // the native expression (sign matrix as a codegen reference object)
+    // must reproduce the typedlit reference form exactly — incl. the
+    // null semantics: a null element or a dim-mismatched vector drops
+    // every bit (bucket = table << bits); a null vector stays null
+    val emb = spark.read.parquet(s"$tmp/embeddings.parquet")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("vec"))
+      .unionByName(Seq(
+        (9001L, Seq[java.lang.Double](1.0, null, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0)), // null elem
+        (9002L, Seq[java.lang.Double](1.0, 2.0, 3.0)), // dim mismatch
+        (9003L, null) // null vector
+      ).toDF("vec_id", "vec"))
+    val bits = 6; val tables = 4; val dim = 8
+    val literal = array((0 until tables).map(t =>
+      Similarity.lshBucket($"vec", dim, bits, t)): _*)
+    val rows = emb.select($"vec_id",
+        Similarity.lshBuckets($"vec", dim, bits, tables).as("native"),
+        literal.as("lit")).collect()
+    assert(rows.length === 63)
+    rows.filter(!_.isNullAt(1)).foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2), s"vec_id ${r.getLong(0)}")
+    }
+    // intentional divergence pinned: a WHOLLY null vector is null-in-
+    // null-out natively (it never buckets), where the literal form's
+    // when().otherwise(0) swallowed the null into bucket t<<bits —
+    // bucketing every null vector together at scale
+    val nullRow = rows.find(_.getLong(0) == 9003L).get
+    assert(nullRow.isNullAt(1) && !nullRow.isNullAt(2))
+    assert(rows.count(_.isNullAt(1)) === 1)
+  }
 }
