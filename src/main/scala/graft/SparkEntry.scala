@@ -375,6 +375,12 @@ object SparkEntry {
       graft.streaming.Streaming.eventWindowCounts(s, dir)
         .select(date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
           col("event_type"), col("n"), col("sum_cents"))),
+    // watermark-scoped stateful dedup run as a stream: the events table
+    // arrives TWICE across micro-batches; dropDuplicates within
+    // withWatermark must collapse it back to the raw table (the oracle
+    // is independent SQL over the single-copy events)
+    "pipe_stream_dedup" -> ((s, dir) =>
+      graft.streaming.Streaming.dedupedEventCounts(s, dir)),
     "pipe_eval" -> ((s, dir) => Pipeline.evaluate(s, dir))
   )
 
@@ -577,6 +583,14 @@ object SparkEntry {
                          '%Y-%m-%d %H:%M:%S') AS win_start,
                 event_type, count(*) AS n,
                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-         FROM events GROUP BY 1, 2"""
+         FROM events GROUP BY 1, 2""",
+    // independent re-derivation of the streamed watermarked dedup: the
+    // stream ingests every event twice; exact dedup must reduce it to
+    // the raw table (event_id is unique), so the oracle is a plain
+    // aggregate over the single-copy events
+    "pipe_stream_dedup" ->
+      """SELECT event_type, count(*) AS n_events,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM events GROUP BY event_type"""
   )
 }

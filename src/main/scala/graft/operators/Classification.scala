@@ -182,6 +182,30 @@ object Classification {
     }.toDF("doc_id", "sentence_offset", "lu", "n_tokens", "n_features", "feat_sum")
   }
 
+  /** ONE classify pass emitting keep + reject information together —
+    * the stream Pipeline.rejected commits once and filters twice
+    * (write-once shape, round-3 VERDICT #4). Same broadcast-model
+    * mapPartitions shape as classify.
+    */
+  def classifyFullDs(luSents: Dataset[LuSentence],
+                     bc: Broadcast[FrameModel]): Dataset[ClassifyFullRow] = {
+    import luSents.sparkSession.implicits._
+    luSents.mapPartitions { it =>
+      val model = bc.value
+      it.map { s =>
+        model.classifyFull(s) match {
+          case (Some(c), reasons) =>
+            ClassifyFullRow(c.doc_id, c.sentence_offset, c.frame, c.lu,
+              c.subj_chunk, c.chunks, c.confidence, c.spans_sig,
+              keep = true, reasons)
+          case (None, reasons) =>
+            ClassifyFullRow(s.doc_id, s.sentence_offset, s.frame, s.lu,
+              null, Seq.empty, 0.0, s.spans_sig, keep = false, reasons)
+        }
+      }
+    }
+  }
+
   /** Classification-stage rejected-items sideline (SURVEY §2.4 J5:
     * "unresolved -> rejected sink"): one row per (sentence, reason),
     * same single mapPartitions pass shape as classify.

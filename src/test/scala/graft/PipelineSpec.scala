@@ -146,6 +146,30 @@ class PipelineSpec extends SparkSuite {
     assert(!all.exists(_._1 == "r4")) // clean sentence rejects nothing
   }
 
+  test("rejected() is single-pass: committed classify table, no classify in the plan") {
+    val sfDir = "/root/testdata/sf0.001"
+    val df = Pipeline.rejected(spark, sfDir)
+    // equality with the explicit two-pass formulation it replaced
+    val docs = Pipeline.docsFor(spark, sfDir)
+    val lus = Extraction.matchN2n(Extraction.sentences(docs))
+    val bc = spark.sparkContext.broadcast(Classification.defaultModel)
+    val twoPass = Classification.rejects(lus, bc).toDF()
+      .unionByName(Serialize.rejectedText(Classification.classify(lus, bc)))
+      .collect().map(_.toString).sorted.toSeq
+    val onePass = df.collect().map(_.toString).sorted.toSeq
+    assert(onePass === twoPass)
+    assert(onePass.nonEmpty)
+    // the returned plan derives BOTH streams from the committed table:
+    // classification already ran (once, inside runStage) — no typed
+    // mapPartitions / object serialization remains anywhere in the plan
+    val p = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(!p.contains("MapPartitions"), p)
+    assert(p.contains("Scan parquet"), p)
+    // repeated construction is memoized: same committed files, no new stage run
+    assert(Pipeline.rejected(spark, sfDir).inputFiles.sorted.toSeq ===
+      df.inputFiles.sorted.toSeq)
+  }
+
   test("semi-structured path contributes triples for ~20% of docs") {
     val semi = Serialize.semiTriples(Corpus.fixtureSemi(spark, 200))
     val nDocs = semi.select("doc_id").distinct().count()

@@ -137,4 +137,34 @@ class StreamingSpec extends SparkSuite {
     val expected = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
     assert(total === expected)
   }
+
+  test("watermarked dedup collapses the double-fed stream to the raw table") {
+    val sfDir = "/root/testdata/sf0.001"
+    val out = Streaming.dedupedEventCounts(spark, sfDir)
+    val total = out.agg(sum($"n_events")).collect()(0).getLong(0)
+    val raw = spark.read.parquet(s"$sfDir/events.parquet").count()
+    assert(total === raw) // 2x ingested, exactly-once out
+  }
+
+  test("stateful dedup drops a LATE duplicate arriving in a later batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val q = src.toDS().toDF("event_id", "ts", "payload")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id", "ts")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_late").start()
+    src.addData((1L, ts(0), "a"), (2L, ts(5), "b"))
+    q.processAllAvailable()
+    // batch 2: event 1 again (late duplicate, within the watermark) + a
+    // genuinely new event — only the new one may emerge
+    src.addData((1L, ts(0), "a"), (3L, ts(10), "c"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_late").select($"event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === Seq(1L, 2L, 3L))
+  }
 }
