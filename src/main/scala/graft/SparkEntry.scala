@@ -156,6 +156,17 @@ object SparkEntry {
       Dedup.incrementalPairsIndexed(
         Dedup.readIndex(s, dedupIndexTable(s, dir)), fresh, 0.6)
     }),
+    // the COMMITTED index table itself under the gate: per-band row
+    // counts and bucket cardinality of the write-once banded-signature
+    // index (manifest-committed TableIO snapshot) — what a dedup
+    // operator monitors to spot band skew before it becomes a hot
+    // bucket at ingest time
+    "q_dedup_index" -> ((s, dir) =>
+      Dedup.readIndex(s, dedupIndexTable(s, dir))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_sigs"),
+          countDistinct(col("bucket")).as("n_buckets"),
+          countDistinct(col("doc_id")).as("n_docs"))),
     // the actual corpus prune: every cluster keeps its representative,
     // everything else drops; untouched docs pass through
     "q_dedup_keep" -> ((s, dir) => {

@@ -228,6 +228,17 @@ object Dedup {
       .select(col("doc_id"), col("sig"), col("band").cast("int").as("band"),
         col("bucket"))
 
+  /** Index MAINTENANCE: append a new batch's banded signatures to the
+    * committed index after its pairs were processed — the step that
+    * keeps tomorrow's increment joining against today's corpus without
+    * ever re-minhashing it. An Append snapshot on the same partitioning.
+    */
+  def appendIndex(docs: DataFrame, table: String,
+                  snapshotId: String): graft.sources.TableIO.Manifest =
+    graft.sources.TableIO.write(bandedSigs(docs), table,
+      partitionBy = Seq("band"), snapshotId = snapshotId,
+      mode = org.apache.spark.sql.SaveMode.Append)
+
   def incrementalPairsIndexed(corpusIndex: DataFrame, fresh: DataFrame,
                               threshold: Double): DataFrame = {
     val idx = capBuckets(
