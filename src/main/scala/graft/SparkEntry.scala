@@ -4,6 +4,7 @@ import graft.operators._
 import graft.sources.Corpus
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every SURVEY §2 operator key appears in `queries`; SQL-expressible
@@ -40,10 +41,10 @@ object SparkEntry {
     * build; applicationId-scoped path, same reasoning as pipe_sink).
     */
   private val dedupIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
   private def dedupIndexTable(s: SparkSession, dir: String): String =
-    dedupIndexCache.computeIfAbsent(dir, { d =>
+    dedupIndexCache.computeIfAbsent((s.sparkContext.applicationId, dir), { case (_, d) =>
       val table = s"${sys.props("java.io.tmpdir")}/graft_dedup_idx_" +
         s"${d}_${s.sparkContext.applicationId}".replaceAll("[^a-zA-Z0-9.]", "_")
       val corpus = operators.Dedup
@@ -141,8 +142,14 @@ object SparkEntry {
         .unionByName(sh.select(col("doc_a"), col("doc_b")))
         .select(col("doc_a").cast("long").as("doc_a"),
           col("doc_b").cast("long").as("doc_b"))
-      val state = java.nio.file.Files.createTempDirectory("graft_cc").toString
-      Dedup.clusters(edges, stateTable = Some(s"$state/labels"))
+      val state = java.nio.file.Files.createTempDirectory("graft_cc")
+      val out = Dedup.clusters(edges, stateTable = Some(s"$state/labels"))
+      // the loop has run to convergence by now; the result lives in
+      // checkpointed blocks, so the scratch state table can go — one
+      // per construction would otherwise accumulate in tmp forever
+      scala.util.Using.resource(java.nio.file.Files.walk(state))(
+        _.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete))
+      out
     }),
     // incremental ingest: near-dups of a NEW batch (planted twins of
     // old docs + the tail of the corpus) against the existing corpus —

@@ -338,12 +338,27 @@ object Dedup {
     * @param stateTable  TableIO table dir for per-round label commits
     *                    (None = in-memory only, the small-job fast path)
     * @param commitEvery commit cadence in rounds when stateTable is set
+    * @param runId       owns the state table, like Checkpoint.runStage's
+    *                    runId owns a stage table: the caller must use a
+    *                    distinct id per (edge set, run) — a state table
+    *                    committed by a DIFFERENT id fails loudly instead
+    *                    of silently resuming on a stale node set
     */
   def clusters(pairs: DataFrame, maxIter: Int = 30,
                stateTable: Option[String] = None, commitEvery: Int = 5,
-               crashAfterRound: Int = Int.MaxValue): DataFrame = {
+               runId: String = "cc"): DataFrame =
+    clustersImpl(pairs, maxIter, stateTable, commitEvery, runId, Int.MaxValue)
+
+  /** Test seam: `crashAfterRound` injects a driver death right after
+    * that round's snapshot commit (kill-mid-loop resume spec) — kept
+    * out of the public operator contract.
+    */
+  private[graft] def clustersImpl(pairs: DataFrame, maxIter: Int,
+                                  stateTable: Option[String], commitEvery: Int,
+                                  runId: String, crashAfterRound: Int): DataFrame = {
     val spark = pairs.sparkSession
     import graft.sources.TableIO
+    val snapPrefix = s"$runId-round-"
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -352,10 +367,16 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // resume: adopt the last committed round's labels, continue there
+      // — but only OUR OWN commits; a foreign run's state is a loud error
       val resumed: Option[(DataFrame, Int)] = stateTable
         .filter(t => TableIO.manifest(t).isDefined)
         .map { t =>
-          val round = TableIO.snapshotIds(t).last.stripPrefix("round-").toInt
+          val ids = TableIO.snapshotIds(t)
+          val foreign = ids.filterNot(_.startsWith(snapPrefix))
+          require(foreign.isEmpty,
+            s"state table $t holds snapshots of ${foreign.mkString(",")} — " +
+              s"one state table per collapse run; this run is '$runId'")
+          val round = ids.last.stripPrefix(snapPrefix).toInt
           (TableIO.read(spark, t), round + 1)
         }
       var it = resumed.map(_._2).getOrElse(0)
@@ -408,7 +429,7 @@ object Dedup {
         labels = next
         stateTable.foreach { t =>
           if (!converged && it % commitEvery == commitEvery - 1) {
-            TableIO.write(labels, t, snapshotId = s"round-$it",
+            TableIO.write(labels, t, snapshotId = s"$snapPrefix$it",
               mode = org.apache.spark.sql.SaveMode.Overwrite)
             TableIO.expireOrphans(t) // earlier rounds' snapshots
             // spec hook: simulate the driver dying right after a commit

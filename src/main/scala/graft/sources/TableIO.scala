@@ -135,6 +135,21 @@ object TableIO {
         .getOrElse(TableState(partitionBy, Nil, Nil))
     require(prior.partitionCols == partitionBy,
       s"append partitioning ${partitionBy.mkString(",")} must match table's ${prior.partitionCols.mkString(",")}")
+    // partition VALUES must render identically in partSegment and in
+    // Spark's on-disk directory names: true for string/integral/bool,
+    // NOT for timestamp/date/decimal (their toString differs from
+    // Spark's partition-path rendering) — fail loudly, don't write a
+    // manifest whose paths match no directory
+    partitionBy.foreach { c =>
+      import org.apache.spark.sql.types._
+      val ok = df.schema(c).dataType match {
+        case StringType | ByteType | ShortType | IntegerType | LongType |
+             BooleanType => true
+        case _ => false
+      }
+      require(ok, s"partition column $c: unsupported type " +
+        s"${df.schema(c).dataType} (string/integral/boolean only)")
+    }
     // attempt-unique across JVMs: a resumed run in a FRESH JVM must
     // never reuse a prior attempt's directory name (a per-JVM counter
     // alone restarts at 0 and the Overwrite below would destroy the
@@ -150,10 +165,13 @@ object TableIO {
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(s"$table/$snapDir")
-    // stats from the COMMITTED files, not a recompute of `df`
+    // stats from the COMMITTED files, not a recompute of `df`. The
+    // read supplies the WRITER'S schema: inference would re-type a
+    // numeric-looking string partition value ("01" -> int 1) and
+    // partSegment would then render a path matching no directory
     val parts: Seq[Part] =
       try {
-        val committed = spark.read.parquet(s"$table/$snapDir")
+        val committed = spark.read.schema(df.schema).parquet(s"$table/$snapDir")
         if (partitionBy.nonEmpty)
           committed.groupBy(partitionBy.map(col): _*).count().collect().toSeq
             .map { r =>

@@ -182,32 +182,55 @@ object Streaming {
     val out = dedupRunCache.computeIfAbsent(
       (System.identityHashCode(spark), sfDir),
       _ => runDedupedEvents(spark, sfDir))
-    spark.read.parquet(out)
+    spark.read.parquet(out).drop("batch") // batchId partition dirs
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(round(col("value") * 100).cast("long")).as("sum_cents"))
   }
 
+  /** Stage every data file of a parquet table (single file OR a
+    * Spark-written directory) into a fresh dir TWICE, with distinct
+    * names — the double-fed input the dedup stream must collapse.
+    */
+  private def stageDoubled(path: String): String = {
+    import java.nio.file._
+    import scala.jdk.CollectionConverters._
+    val src = Paths.get(path)
+    val files =
+      if (Files.isDirectory(src))
+        scala.util.Using.resource(Files.list(src))(
+          _.iterator().asScala.filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
+      else Seq(src)
+    val dir = Files.createTempDirectory("stream-dedup-src")
+    files.zipWithIndex.foreach { case (f, i) =>
+      Files.copy(f, dir.resolve(s"copy1_$i.parquet"))
+      Files.copy(f, dir.resolve(s"copy2_$i.parquet"))
+    }
+    dir.toString
+  }
+
   private def runDedupedEvents(spark: SparkSession, sfDir: String): String = {
     import java.nio.file._
-    val src = Paths.get(s"$sfDir/events.parquet")
-    val dir = Files.createTempDirectory("stream-dedup-src")
-    Files.copy(src, dir.resolve("copy1.parquet"))
-    Files.copy(src, dir.resolve("copy2.parquet"))
+    val dir = stageDoubled(s"$sfDir/events.parquet")
     val out = Files.createTempDirectory("stream-dedup-out").toString
     val ckpt = Files.createTempDirectory("stream-dedup-ckpt").toString
-    val schema = spark.read.parquet(dir.toString).schema
+    val schema = spark.read.parquet(dir).schema
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1) // one copy per micro-batch
-      .parquet(dir.toString)
+      .parquet(dir)
       .withColumn("ts", col("ts").cast("timestamp")) // NTZ -> event-time type
       .withWatermark("ts", "35 days")
       .dropDuplicates("event_id", "ts")
       .writeStream
       .option("checkpointLocation", ckpt)
+      // IDEMPOTENT sink: each micro-batch OVERWRITES its own
+      // batchId-keyed partition dir, so a batch retried after a partial
+      // write replaces itself instead of appending a second copy —
+      // foreachBatch's documented exactly-once recipe (a blind append
+      // would duplicate rows on retry and break the oracle)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                       _: Long) =>
-        batch.write.mode("append").parquet(out)
+                       batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/batch=$batchId")
         ()
       }
       .trigger(Trigger.AvailableNow())

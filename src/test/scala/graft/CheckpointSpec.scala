@@ -209,18 +209,27 @@ class CheckpointSpec extends SparkSuite {
     // Spark escapes partition directory names; the manifest must render
     // the same escaped form or readWhere silently matches nothing
     val dir = java.nio.file.Files.createTempDirectory("tio-esc").toString
-    val df = Seq((1, "a b"), (2, "x/y"), (3, "plain"), (4, null))
+    // "01" pins the numeric-looking-string case: stats read with
+    // inference would re-type it int 1 and render a dead path
+    val df = Seq((1, "a b"), (2, "x/y"), (3, "plain"), (4, null), (5, "01"))
       .toDF("id", "part")
     TableIO.write(df, s"$dir/t", partitionBy = Seq("part"), snapshotId = "s1")
     val byPart = TableIO.partitionRows(s"$dir/t").toMap
-    assert(byPart.values.sum === 4)
+    assert(byPart.values.sum === 5)
     // every manifest path resolves to real on-disk data
     for ((p, _) <- byPart) {
       val got = TableIO.readWhere(spark, s"$dir/t", _ == p).count()
       assert(got === 1, s"partition path $p read back $got rows")
     }
     assert(byPart.keySet.exists(_.contains("__HIVE_DEFAULT_PARTITION__")))
-    assert(TableIO.read(spark, s"$dir/t").count() === 4)
+    assert(byPart.keySet.contains("part=01"), byPart.keySet.toString)
+    assert(TableIO.read(spark, s"$dir/t").count() === 5)
+    // unsupported partition value types fail loudly at write time
+    intercept[IllegalArgumentException] {
+      TableIO.write(
+        Seq((1, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))).toDF("id", "ts"),
+        s"$dir/t2", partitionBy = Seq("ts"), snapshotId = "s1")
+    }
   }
 
   test("a committed zero-row table reads back empty instead of failing resume") {

@@ -151,17 +151,24 @@ class DedupSpec extends SparkSuite {
     val reference = Dedup.clusters(pairs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
     val ex = intercept[IllegalStateException] {
-      Dedup.clusters(pairs, stateTable = Some(table), commitEvery = 1,
-        crashAfterRound = 2).collect()
+      Dedup.clustersImpl(pairs, 30, Some(table), 1, "cc", crashAfterRound = 2)
+        .collect()
     }
     assert(ex.getMessage.contains("injected crash"))
-    assert(TableIO.snapshotIds(table) === Seq("round-2"))
+    assert(TableIO.snapshotIds(table) === Seq("cc-round-2"))
     val resumed = Dedup.clusters(pairs, stateTable = Some(table), commitEvery = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
     assert(resumed === reference)
     // the resumed run continued past round 2 — it never restarted at 0
-    val lastRound = TableIO.snapshotIds(table).head.stripPrefix("round-").toInt
+    val lastRound = TableIO.snapshotIds(table).head.stripPrefix("cc-round-").toInt
     assert(lastRound > 2, s"resume restarted: last committed round $lastRound")
+    // a DIFFERENT run id must refuse the foreign state loudly, never
+    // silently resume on a stale node set
+    val err = intercept[IllegalArgumentException] {
+      Dedup.clusters(pairs, stateTable = Some(table), commitEvery = 1,
+        runId = "cc-day2").collect()
+    }
+    assert(err.getMessage.contains("one state table per collapse run"))
   }
 
   test("verify gate: borderline est-only candidate no longer merges clusters") {
@@ -189,6 +196,32 @@ class DedupSpec extends SparkSuite {
     val unverified = Dedup.clusters(cand).collect()
       .map(_.getLong(1)).distinct.toSeq
     assert(unverified === Seq(1L))
+  }
+
+  test("committed index: write + append maintenance == fresh signatures") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = real.filter($"doc_id" < 400)
+    val batch = real.filter($"doc_id" >= 400 && $"doc_id" < 450)
+    val table = java.nio.file.Files.createTempDirectory("idx").toString + "/idx"
+    Dedup.writeIndex(corpus, table)
+    // incremental detection through the committed index == recompute form
+    val viaIndex = Dedup.incrementalPairsIndexed(
+        Dedup.readIndex(spark, table), batch, 0.3)
+      .collect().map(_.toString).sorted.toSeq
+    val recompute = Dedup.incrementalPairs(corpus, batch, 0.3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaIndex === recompute)
+    // maintenance: append the batch's signatures; the index now equals
+    // fresh signatures of the grown corpus (tomorrow's increment joins
+    // against it without re-minhashing anything)
+    Dedup.appendIndex(batch, table, snapshotId = "batch-1")
+    val maintained = Dedup.readIndex(spark, table)
+      .select($"doc_id", $"band", $"bucket")
+      .collect().map(_.toString).sorted.toSeq
+    val fresh = Dedup.bandedSigs(real.filter($"doc_id" < 450))
+      .select($"doc_id", $"band", $"bucket")
+      .collect().map(_.toString).sorted.toSeq
+    assert(maintained === fresh)
   }
 
   test("canonicalKeep drops exactly the non-representative members") {
