@@ -90,6 +90,9 @@ object SparkEntry {
     // ---- text analysis (training-data ops) ----
     "q_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(s, dir)),
     "q_quality" -> ((s, dir) => TextAnalysis.quality(s, dir)),
+    // Gopher-style repetition rules (duplicate token/trigram fractions,
+    // alpha ratio) — independently re-derived in DuckDB list SQL
+    "q_repetition" -> ((s, dir) => TextAnalysis.repetition(s, dir)),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
     "q_rolling_fp" -> ((s, dir) => TextAnalysis.rollingFingerprint(s, dir)),
     "q_langid" -> ((s, dir) => TextAnalysis.langIdTable(s, dir)),
@@ -207,6 +210,12 @@ object SparkEntry {
     // count (k=64 cells, broadcast centroid table; nprobe=16 — random
     // high-dim embeddings need a fat probe, still a 4x candidate prune)
     "q_ann_ivf_recall" -> ((s, dir) => Similarity.ivfRecall(s, dir,
+      Similarity.buildIvfCentroids(s, dir, 64), 5, 10, nprobe = 16)),
+    // the 4x-memory serving path end to end: IVF probe against the
+    // int8-DEQUANTIZED corpus (queries full precision), recall vs the
+    // float exact baseline — quantization + ANN composed, not just
+    // measured in isolation
+    "q_ann_quant_recall" -> ((s, dir) => Similarity.ivfQuantRecall(s, dir,
       Similarity.buildIvfCentroids(s, dir, 64), 5, 10, nprobe = 16)),
     // ---- misc scalar / stats ops (SURVEY §2.2-2.5) ----
     "q_clean_text" -> ((s, dir) => Misc.cleanDocs(s, dir)),
@@ -561,6 +570,26 @@ object SparkEntry {
                 CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS INTEGER) AS n_tokens,
                 CAST(length(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INTEGER) AS n_pieces
          FROM documents""",
+    "q_repetition" ->
+      """WITH q AS (
+           SELECT doc_id, text,
+                  list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+           FROM documents),
+         t AS (
+           SELECT doc_id, text, toks, len(toks) AS n,
+                  CASE WHEN len(toks) >= 3
+                       THEN list_transform(range(1, len(toks) - 1),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                       ELSE []::VARCHAR[] END AS tris
+           FROM q)
+         SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+                round(CASE WHEN n = 0 THEN 0.0
+                  ELSE 1.0 - len(list_distinct(toks))::DOUBLE / n END, 6) AS dup_token_frac,
+                round(CASE WHEN len(tris) = 0 THEN 0.0
+                  ELSE 1.0 - len(list_distinct(tris))::DOUBLE / len(tris) END, 6) AS dup_trigram_frac,
+                round(CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text) END, 6) AS alpha_ratio
+         FROM t""",
     "q_quality" ->
       """WITH q AS (SELECT doc_id, CAST(length(text) AS INTEGER) AS len_chars,
                 list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS toks

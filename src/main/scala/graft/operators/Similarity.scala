@@ -250,20 +250,29 @@ object Similarity {
               nQueries: Int, k: Int, nprobe: Int = 2): DataFrame = {
     import spark.implicits._
     val emb = loadEmb(spark, sfDir)
-    val cents = centroidTable(spark, centroids)
-    val corpus = assignCells(emb, cents)
-    val queries = probeCells(
+    ivfTopKOver(emb,
       emb.filter($"vec_id" < nQueries)
         .select($"vec_id".as("query_id"), $"vec".as("qvec")),
-      cents, nprobe)
-    val scored = corpus.join(queries, Seq("cell"))
-      .filter($"vec_id" =!= $"query_id")
-      .withColumn("cos", cosine($"vec", $"qvec"))
-    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+      centroidTable(spark, centroids), k, nprobe)
+  }
+
+  /** IVF probe over explicit corpus (vec_id, vec) and query (query_id,
+    * qvec) frames — the seam that lets the corpus side be the
+    * DEQUANTIZED int8 codes while queries stay full precision
+    * (asymmetric distance, the standard quantized-serving setup).
+    */
+  def ivfTopKOver(corpus: DataFrame, queries: DataFrame, cents: DataFrame,
+                  k: Int, nprobe: Int): DataFrame = {
+    val corpusCells = assignCells(corpus, cents)
+    val probed = probeCells(queries, cents, nprobe)
+    val scored = corpusCells.join(probed, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("vec"), col("qvec")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
-      .filter($"rank" <= k)
-      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank",
-        round($"cos", 6).as("cos"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cos"))
   }
 
   /** Measured IVF recall vs the exact brute-force baseline, per query
@@ -339,6 +348,51 @@ object Similarity {
         max(round($"rmse", 6)).as("max_rmse"))
       .select($"label", $"n_vecs", round($"avg_rmse_raw", 6).as("avg_rmse"),
         $"max_rmse")
+  }
+
+  /** The corpus as round-tripped INT8 codes: each vector quantized to
+    * the per-dim affine code and dequantized back — exactly what a
+    * serving tier holding the 4×-smaller codes in memory computes
+    * against. Same calibration stats as quantizeError.
+    */
+  def dequantizedEmbeddings(spark: SparkSession, sfDir: String,
+                            dim: Int = DefaultDim): DataFrame = {
+    import spark.implicits._
+    val (mn, mx) = quantStats(spark, sfDir, dim)
+    val mnC = typedlit(mn)
+    val rangeC = typedlit(mn.zip(mx).map { case (a, b) => math.max(b - a, 1e-12) })
+    val q = transform($"vec", (x, i) =>
+      (round((x - element_at(mnC, i + 1)) / element_at(rangeC, i + 1) * 255)
+        - 128).cast("tinyint"))
+    loadEmb(spark, sfDir)
+      .withColumn("quant", q)
+      .select($"vec_id", transform($"quant", (b, i) =>
+        element_at(mnC, i + 1) +
+          (b.cast("double") + 128.0) * element_at(rangeC, i + 1) / 255.0).as("vec"))
+  }
+
+  /** End-to-end ANN over the QUANTIZED corpus: IVF cells + probing run
+    * against int8-dequantized vectors (queries full precision), recall
+    * measured per query against the float exact baseline — the number
+    * that decides whether the 4× memory saving is safe to deploy.
+    */
+  def ivfQuantRecall(spark: SparkSession, sfDir: String,
+                     centroids: Array[(Int, Array[Double])],
+                     nQueries: Int, k: Int, nprobe: Int,
+                     dim: Int = DefaultDim): DataFrame = {
+    import spark.implicits._
+    val exact = bruteForceTopK(spark, sfDir, nQueries, k)
+      .select($"query_id", $"neighbor_id")
+    val queries = loadEmb(spark, sfDir).filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"vec".as("qvec"))
+    val approx = ivfTopKOver(dequantizedEmbeddings(spark, sfDir, dim), queries,
+        centroidTable(spark, centroids), k, nprobe)
+      .select($"query_id", $"neighbor_id").withColumn("hit", lit(1))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy($"query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce($"hit", lit(0))).cast("long").as("n_hit"))
+      .withColumn("recall", round($"n_hit" / $"n_exact", 6))
   }
 
   /** Embedding-cosine near-duplicate pairs (bucketed; cos ≥ threshold). */

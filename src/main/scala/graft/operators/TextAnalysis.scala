@@ -63,6 +63,42 @@ object TextAnalysis {
             .cast("double") / nTok), 6).as("stopword_ratio"))
   }
 
+  /** Gopher-style REPETITION signals (pure Catalyst, codegen'd) — the
+    * duplicate-content quality rules a pre-training pipeline applies
+    * alongside the length/stopword filters above: heavily repetitive
+    * documents (boilerplate, keyword stuffing, decode loops) carry a
+    * high duplicate-n-gram fraction long before exact/near dedup sees
+    * them. Per doc: duplicate token fraction, duplicate trigram
+    * fraction, and the alphabetic character ratio. All three are
+    * re-derived independently in DuckDB list SQL (hand-written oracle).
+    */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val tokens = toks($"text")
+    val nTok = size(tokens)
+    // 1-based trigram windows; sequence() DESCENDS when stop < start,
+    // so short docs must short-circuit to an empty array
+    val trigrams = when(nTok >= 3,
+      transform(sequence(lit(1), nTok - 2), i =>
+        concat_ws(" ", element_at(tokens, i), element_at(tokens, i + 1),
+          element_at(tokens, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    docs.select($"doc_id", nTok.as("n_tokens"), tokens.as("toks"),
+        trigrams.as("tris"),
+        round(when(length($"text") === 0, 0.0)
+          .otherwise(length(regexp_replace($"text", "[^A-Za-z]", ""))
+            .cast("double") / length($"text")), 6).as("alpha_ratio"))
+      .select($"doc_id", $"n_tokens",
+        round(when($"n_tokens" === 0, 0.0)
+          .otherwise(lit(1.0) - size(array_distinct($"toks")).cast("double") / $"n_tokens"),
+          6).as("dup_token_frac"),
+        round(when(size($"tris") === 0, 0.0)
+          .otherwise(lit(1.0) - size(array_distinct($"tris")).cast("double") / size($"tris")),
+          6).as("dup_trigram_frac"),
+        $"alpha_ratio")
+  }
+
   /** Token counts: whitespace tokens + a BPE-ish regex piece count. */
   /** Reproducible stratified corpus sampling WITHOUT rand(): a row is
     * kept iff pmod(xxhash64(doc_id, salt), 10000) < rate(lang)·10000.

@@ -34,7 +34,8 @@ object OracleGen {
     "q_simhash", "q_minhash_buckets",
     "q_minhash_pairs", "q_simhash_pairs", "q_jaccard_verify", "q_cosine_dup",
     "q_dedup_clusters", "q_dedup_keep", "q_dedup_incremental", "q_dedup_index",
-    "q_ann_brute", "q_ann_lsh", "q_ann_ivf", "q_ann_ivf_recall", "q_embed_quant",
+    "q_ann_brute", "q_ann_lsh", "q_ann_ivf", "q_ann_ivf_recall",
+    "q_ann_quant_recall", "q_embed_quant",
     "q_media_stats", "q_media_frames", "q_media_resize", "q_media_feats",
     "pipe_qs_media", "q_media_provenance")
 

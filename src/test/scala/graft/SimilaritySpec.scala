@@ -78,6 +78,16 @@ class SimilaritySpec extends SparkSuite {
     assert(rec.forall(_ >= 0.8), rec.toSeq.toString)
   }
 
+  test("quantized-corpus IVF: recall vs the FLOAT exact baseline stays high") {
+    // the int8 round-trip must not collapse neighbor ranking: per-dim
+    // quantization noise is range/255, far below the cluster separation
+    val cents = Similarity.buildIvfCentroids(spark, tmp, 6, dim = 8)
+    val rec = Similarity.ivfQuantRecall(spark, tmp, cents, 5, 3, nprobe = 2, dim = 8)
+      .collect().map(r => r.getAs[Double]("recall"))
+    assert(rec.length === 5)
+    assert(rec.forall(_ >= 0.8), rec.toSeq.toString)
+  }
+
   test("broadcast centroid table scales k past literal-expression limits") {
     // k=32 cells over 60 vectors: the assignment must stay total (every
     // vector lands in exactly one cell) and deterministic
