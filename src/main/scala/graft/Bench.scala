@@ -35,7 +35,11 @@ object Bench {
     "pipe_triples", "q_tf", "q_lu_rank", "q_join_broadcast", "q_join_salted",
     "q_window_rank", "q_dedup_exact", "q_minhash_buckets", "q_simhash",
     "q_ann_brute", "q_ann_lsh", "q_ann_ivf", "q_quality", "q_media_stats",
-    "q_cosine_dup", "q_dedup_clusters")
+    "q_cosine_dup", "q_dedup_clusters",
+    // round 4: incremental ingest through the committed index (the
+    // index build itself is memoized setup, like the IVF build) and
+    // the repetition quality scan
+    "q_dedup_incremental", "q_repetition")
 
   def time(body: => Unit): Double = {
     val t0 = System.nanoTime()
