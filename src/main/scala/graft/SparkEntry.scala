@@ -93,6 +93,12 @@ object SparkEntry {
     // Gopher-style repetition rules (duplicate token/trigram fractions,
     // alpha ratio) — independently re-derived in DuckDB list SQL
     "q_repetition" -> ((s, dir) => TextAnalysis.repetition(s, dir)),
+    // PII redaction with planted positives; the md5 of the scrubbed
+    // text pins byte-equality of the redaction itself (independent SQL)
+    "q_pii_scrub" -> ((s, dir) => TextAnalysis.piiScrub(s, dir)),
+    // greedy fixed-budget sequence packing per source (window cumsum —
+    // the training-batch prep step; independent SQL oracle)
+    "q_pack_greedy" -> ((s, dir) => TextAnalysis.packGreedy(s, dir, 512)),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
     "q_rolling_fp" -> ((s, dir) => TextAnalysis.rollingFingerprint(s, dir)),
     "q_langid" -> ((s, dir) => TextAnalysis.langIdTable(s, dir)),
@@ -570,6 +576,38 @@ object SparkEntry {
                 CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS INTEGER) AS n_tokens,
                 CAST(length(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INTEGER) AS n_pieces
          FROM documents""",
+    "q_pii_scrub" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  text ||
+                  CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id || '@example.org now' ELSE '' END ||
+                  CASE WHEN doc_id % 11 = 0 THEN ' call 555-0199' ELSE '' END AS t
+           FROM documents),
+         s AS (
+           SELECT doc_id, t,
+                  regexp_replace(regexp_replace(t, '[a-z0-9._]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
+                                 '555-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+           FROM p)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9.]+[a-z]')) AS INTEGER) AS n_emails,
+                CAST(len(regexp_extract_all(t, '555-[0-9]{4}')) AS INTEGER) AS n_phones,
+                CAST(length(scrubbed) AS INTEGER) AS scrubbed_len,
+                md5(scrubbed) AS scrubbed_md5
+         FROM s""",
+    "q_pack_greedy" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+                  len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, source, n_tokens,
+                  sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM t)
+         SELECT source, CAST(floor((cum - 1) / 512) AS BIGINT) AS pack_id,
+                count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+                min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM c GROUP BY 1, 2""",
     "q_repetition" ->
       """WITH q AS (
            SELECT doc_id, text,

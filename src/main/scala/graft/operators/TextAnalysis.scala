@@ -99,6 +99,63 @@ object TextAnalysis {
         $"alpha_ratio")
   }
 
+  /** PII SCRUBBING (pure Catalyst): redact email addresses and
+    * phone-shaped numbers to typed placeholders and report per-doc
+    * match counts — the redaction pass a pre-training pipeline runs
+    * before anything else sees the text. The testdata salad contains
+    * no PII, so deterministic plants (keyed on doc_id, pure Catalyst
+    * concat — no driver-side synthesis) guarantee the patterns fire;
+    * the scrubbed text is md5'd so the oracle proves byte-equality of
+    * the redaction itself, not just the counts. Patterns are kept to
+    * the regex subset Spark and DuckDB interpret identically.
+    */
+  val EmailRe = "[a-z0-9._]+@[a-z0-9.]+[a-z]"
+  val PhoneRe = "555-[0-9]{4}"
+
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val planted = concat($"text",
+      when($"doc_id" % 7 === 0,
+        concat(lit(" contact user"), $"doc_id", lit("@example.org now")))
+        .otherwise(lit("")),
+      when($"doc_id" % 11 === 0, lit(" call 555-0199")).otherwise(lit("")))
+    val scrubbed = regexp_replace(regexp_replace(planted, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+    docs.select($"doc_id",
+      regexp_count(planted, lit(EmailRe)).cast("int").as("n_emails"),
+      regexp_count(planted, lit(PhoneRe)).cast("int").as("n_phones"),
+      length(scrubbed).as("scrubbed_len"),
+      md5(to_binary(scrubbed, lit("utf-8"))).as("scrubbed_md5"))
+  }
+
+  /** GREEDY SEQUENCE PACKING (window cumsum, no driver loop): assign
+    * docs in doc_id order to fixed-token-budget packs — the batch-prep
+    * step that turns a filtered corpus into training sequences. The
+    * pinned rule: within its SOURCE, a doc belongs to pack
+    * floor((cumulative_tokens−1) / budget) of its END position —
+    * contiguous and deterministic. Packing is PER SOURCE
+    * (`Window.partitionBy(source)`) so the running sum shards across
+    * the cluster instead of serializing the corpus through one global
+    * window — the shape that survives 100 TB (packing within a
+    * domain/shard is also what mixture-controlled training prep wants).
+    * Output: per-(source, pack) doc count, token sum, doc range.
+    */
+  def packGreedy(spark: SparkSession, sfDir: String, budget: Int): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"source", size(toks($"text")).as("n_tokens"))
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .withColumn("pack_id", floor(($"cum" - 1) / budget))
+      .groupBy($"source", $"pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").cast("long").as("sum_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+  }
+
   /** Token counts: whitespace tokens + a BPE-ish regex piece count. */
   /** Reproducible stratified corpus sampling WITHOUT rand(): a row is
     * kept iff pmod(xxhash64(doc_id, salt), 10000) < rate(lang)·10000.
