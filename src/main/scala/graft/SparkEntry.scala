@@ -96,6 +96,10 @@ object SparkEntry {
     // PII redaction with planted positives; the md5 of the scrubbed
     // text pins byte-equality of the redaction itself (independent SQL)
     "q_pii_scrub" -> ((s, dir) => TextAnalysis.piiScrub(s, dir)),
+    // benchmark decontamination: per-doc trigram overlap against a
+    // broadcast eval-set shingle table (the first 25 docs — in-corpus,
+    // so detection provably fires at 1.0); independent SQL oracle
+    "q_contamination" -> ((s, dir) => TextAnalysis.contamination(s, dir, 25)),
     // greedy fixed-budget sequence packing per source (window cumsum —
     // the training-batch prep step; independent SQL oracle)
     "q_pack_greedy" -> ((s, dir) => TextAnalysis.packGreedy(s, dir, 512)),
@@ -594,6 +598,26 @@ object SparkEntry {
                 CAST(length(scrubbed) AS INTEGER) AS scrubbed_len,
                 md5(scrubbed) AS scrubbed_md5
          FROM s""",
+    "q_contamination" ->
+      """WITH q AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+           FROM documents),
+         t AS (
+           SELECT doc_id,
+                  CASE WHEN len(toks) >= 3
+                       THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                       ELSE []::VARCHAR[] END AS tris
+           FROM q),
+         b AS (SELECT DISTINCT unnest(tris) AS tri FROM t WHERE doc_id < 25),
+         e AS (SELECT doc_id, unnest(tris) AS tri FROM t),
+         h AS (SELECT e.doc_id, count(*) AS n_hit FROM e JOIN b USING (tri) GROUP BY 1)
+         SELECT t.doc_id, CAST(len(tris) AS INTEGER) AS n_trigrams,
+                CAST(coalesce(n_hit, 0) AS INTEGER) AS n_overlap,
+                round(CASE WHEN len(tris) = 0 THEN 0.0
+                  ELSE coalesce(n_hit, 0)::DOUBLE / len(tris) END, 6) AS overlap_frac
+         FROM t LEFT JOIN h ON t.doc_id = h.doc_id""",
     "q_pack_greedy" ->
       """WITH t AS (
            SELECT doc_id, source,

@@ -77,13 +77,7 @@ object TextAnalysis {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val tokens = toks($"text")
     val nTok = size(tokens)
-    // 1-based trigram windows; sequence() DESCENDS when stop < start,
-    // so short docs must short-circuit to an empty array
-    val trigrams = when(nTok >= 3,
-      transform(sequence(lit(1), nTok - 2), i =>
-        concat_ws(" ", element_at(tokens, i), element_at(tokens, i + 1),
-          element_at(tokens, i + 2))))
-      .otherwise(array().cast("array<string>"))
+    val trigrams = triWindows(tokens)
     docs.select($"doc_id", nTok.as("n_tokens"), tokens.as("toks"),
         trigrams.as("tris"),
         round(when(length($"text") === 0, 0.0)
@@ -97,6 +91,49 @@ object TextAnalysis {
           .otherwise(lit(1.0) - size(array_distinct($"tris")).cast("double") / size($"tris")),
           6).as("dup_trigram_frac"),
         $"alpha_ratio")
+  }
+
+  /** Trigram windows of a token array (1-based; guarded — sequence()
+    * DESCENDS when stop < start). Shared by repetition + contamination.
+    */
+  private[operators] def triWindows(tokens: Column): Column = {
+    val n = size(tokens)
+    when(n >= 3,
+      transform(sequence(lit(1), n - 2), i =>
+        concat_ws(" ", element_at(tokens, i), element_at(tokens, i + 1),
+          element_at(tokens, i + 2))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct trigram-shingle array of a text column. */
+  private def triShingles(text: Column): Column =
+    array_distinct(triWindows(toks(text)))
+
+  /** BENCHMARK CONTAMINATION check (decontamination): per-doc fraction
+    * of distinct trigram shingles that appear in an evaluation set's
+    * shingle table — the filter that keeps eval data out of a training
+    * corpus. The eval set here is the first `benchN` docs (they appear
+    * in the corpus, so detection provably fires at overlap 1.0; real
+    * deployments broadcast the real benchmark suite). Scale shape: the
+    * eval shingle table is tiny and BROADCAST; the corpus side is one
+    * explode + left-semi equi-join + per-doc count — no quadratic
+    * anything, shuffle only on the final doc_id agg.
+    */
+  def contamination(spark: SparkSession, sfDir: String, benchN: Int): DataFrame = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", triShingles($"text").as("tris"))
+    val bench = docs.filter($"doc_id" < benchN)
+      .select(explode($"tris").as("tri")).distinct()
+    val hits = docs.select($"doc_id", explode($"tris").as("tri"))
+      .join(broadcast(bench), Seq("tri"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_hit"))
+    docs.join(hits, Seq("doc_id"), "left")
+      .select($"doc_id", size($"tris").as("n_trigrams"),
+        coalesce($"n_hit", lit(0L)).cast("int").as("n_overlap"),
+        round(when(size($"tris") === 0, 0.0)
+          .otherwise(coalesce($"n_hit", lit(0L)).cast("double") / size($"tris")),
+          6).as("overlap_frac"))
   }
 
   /** PII SCRUBBING (pure Catalyst): redact email addresses and
