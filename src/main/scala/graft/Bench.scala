@@ -36,9 +36,11 @@ object Bench {
     "q_window_rank", "q_dedup_exact", "q_minhash_buckets", "q_simhash",
     "q_ann_brute", "q_ann_lsh", "q_ann_ivf", "q_quality", "q_media_stats",
     "q_cosine_dup", "q_dedup_clusters",
-    // round 4: incremental ingest through the committed index (the
-    // index build itself is memoized setup, like the IVF build) and
-    // the repetition quality scan
+    // round 4: incremental ingest through the committed index — the
+    // FIRST timed call includes the one-time index build, exactly as
+    // q_ann_ivf's number includes its centroid build (per-increment
+    // cost alone is measured by tools/IncrementalBench) — and the
+    // repetition quality scan
     "q_dedup_incremental", "q_repetition")
 
   def time(body: => Unit): Double = {

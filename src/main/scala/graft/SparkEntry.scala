@@ -156,13 +156,19 @@ object SparkEntry {
         .select(col("doc_a").cast("long").as("doc_a"),
           col("doc_b").cast("long").as("doc_b"))
       val state = java.nio.file.Files.createTempDirectory("graft_cc")
-      val out = Dedup.clusters(edges, stateTable = Some(s"$state/labels"))
-      // the loop has run to convergence by now; the result lives in
-      // checkpointed blocks, so the scratch state table can go — one
-      // per construction would otherwise accumulate in tmp forever
-      scala.util.Using.resource(java.nio.file.Files.walk(state))(
-        _.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete))
-      out
+      try {
+        // run id = the unique scratch dir name: one id per (edge set,
+        // construction), so the ownership check is meaningful
+        Dedup.clusters(edges, stateTable = Some(s"$state/labels"),
+          runId = state.getFileName.toString)
+      } finally {
+        // convergence (or failure) has happened by now; the result
+        // lives in checkpointed blocks, so the scratch state table can
+        // go — and must go on the FAILURE path too, or retries
+        // accumulate label tables in tmp forever
+        scala.util.Using.resource(java.nio.file.Files.walk(state))(
+          _.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete))
+      }
     }),
     // incremental ingest: near-dups of a NEW batch (planted twins of
     // old docs + the tail of the corpus) against the existing corpus —

@@ -342,12 +342,19 @@ object Dedup {
     *                    runId owns a stage table: the caller must use a
     *                    distinct id per (edge set, run) — a state table
     *                    committed by a DIFFERENT id fails loudly instead
-    *                    of silently resuming on a stale node set
+    *                    of silently resuming on a stale node set.
+    *                    REQUIRED whenever stateTable is set (a shared
+    *                    default would defeat the ownership check — the
+    *                    self-review catch)
     */
   def clusters(pairs: DataFrame, maxIter: Int = 30,
                stateTable: Option[String] = None, commitEvery: Int = 5,
-               runId: String = "cc"): DataFrame =
-    clustersImpl(pairs, maxIter, stateTable, commitEvery, runId, Int.MaxValue)
+               runId: String = null): DataFrame = {
+    require(stateTable.isEmpty || (runId != null && runId.nonEmpty),
+      "clusters(stateTable=...) requires an explicit run-specific runId")
+    clustersImpl(pairs, maxIter, stateTable, commitEvery,
+      if (runId == null) "cc" else runId, Int.MaxValue)
+  }
 
   /** Test seam: `crashAfterRound` injects a driver death right after
     * that round's snapshot commit (kill-mid-loop resume spec) — kept

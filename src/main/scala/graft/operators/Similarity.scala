@@ -279,19 +279,26 @@ object Similarity {
     * (driver-checked; SimilaritySpec pins a lower bound). Every brute
     * neighbor row gets hit=1 iff the IVF result also produced it.
     */
+  /** Per-query recall of an approximate neighbor set against the exact
+    * one — the ONE recall definition every measured-recall key uses
+    * (both frames: (query_id, neighbor_id)).
+    */
+  private def recallVs(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.join(approx.withColumn("hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+      .withColumn("recall", round(col("n_hit") / col("n_exact"), 6))
+
   def ivfRecall(spark: SparkSession, sfDir: String,
                 centroids: Array[(Int, Array[Double])],
                 nQueries: Int, k: Int, nprobe: Int): DataFrame = {
     import spark.implicits._
-    val exact = bruteForceTopK(spark, sfDir, nQueries, k)
-      .select($"query_id", $"neighbor_id")
-    val approx = ivfTopK(spark, sfDir, centroids, nQueries, k, nprobe)
-      .select($"query_id", $"neighbor_id").withColumn("hit", lit(1))
-    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
-      .groupBy($"query_id")
-      .agg(count(lit(1)).as("n_exact"),
-        sum(coalesce($"hit", lit(0))).cast("long").as("n_hit"))
-      .withColumn("recall", round($"n_hit" / $"n_exact", 6))
+    recallVs(
+      bruteForceTopK(spark, sfDir, nQueries, k).select($"query_id", $"neighbor_id"),
+      ivfTopK(spark, sfDir, centroids, nQueries, k, nprobe)
+        .select($"query_id", $"neighbor_id"))
   }
 
   /** Per-dimension (min, max) of an embedding corpus — the quantizer
@@ -314,10 +321,28 @@ object Similarity {
         (0 until dim).map(j => r.getDouble(2 * j + 1)))
     })
 
+  /** The ONE quantization law (shared by the error measurement and the
+    * quantized-ANN corpus — they must never diverge, self-review
+    * catch): per-dim affine int8 code q = round((x−min)/range·255)−128
+    * against broadcast-literal calibration arrays; decode inverts it.
+    */
+  private def quantCalib(mn: Seq[Double], mx: Seq[Double]): (Column, Column) =
+    (typedlit(mn),
+      typedlit(mn.zip(mx).map { case (a, b) => math.max(b - a, 1e-12) }))
+
+  private def quantEncode(vec: Column, mnC: Column, rangeC: Column): Column =
+    transform(vec, (x, i) =>
+      (round((x - element_at(mnC, i + 1)) / element_at(rangeC, i + 1) * 255)
+        - 128).cast("tinyint"))
+
+  private def quantDecode(code: Column, mnC: Column, rangeC: Column): Column =
+    transform(code, (b, i) =>
+      element_at(mnC, i + 1) +
+        (b.cast("double") + 128.0) * element_at(rangeC, i + 1) / 255.0)
+
   /** INT8 embedding quantization + measured reconstruction error — the
     * storage scale path: a float32 embedding table quantizes 4× smaller
-    * (byte per component) with bounded recall loss. Per-dim affine
-    * code: q = round((x-min)/(max-min)·255)-128; all Catalyst
+    * (byte per component) with bounded recall loss. All Catalyst
     * (indexed transform against broadcast-literal calibration arrays).
     * Output per label: vector count and RMSE stats of dequantized vs
     * original — averages from FIXED-POINT integer sums (deterministic
@@ -327,17 +352,12 @@ object Similarity {
                     dim: Int = DefaultDim): DataFrame = {
     import spark.implicits._
     val (mn, mx) = quantStats(spark, sfDir, dim)
-    val mnC = typedlit(mn)
-    val rangeC = typedlit(mn.zip(mx).map { case (a, b) => math.max(b - a, 1e-12) })
+    val (mnC, rangeC) = quantCalib(mn, mx)
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select($"vec_id", $"label",
         transform($"embedding", x => x.cast("double")).as("vec"))
-    val q = transform($"vec", (x, i) =>
-      (round((x - element_at(mnC, i + 1)) / element_at(rangeC, i + 1) * 255)
-        - 128).cast("tinyint"))
-    val deq = transform($"quant", (b, i) =>
-      element_at(mnC, i + 1) +
-        (b.cast("double") + 128.0) * element_at(rangeC, i + 1) / 255.0)
+    val q = quantEncode($"vec", mnC, rangeC)
+    val deq = quantDecode($"quant", mnC, rangeC)
     emb.withColumn("quant", q)
       .withColumn("rmse",
         sqrt(graft.functions.VectorOps.vec_l2sq($"vec", deq) / dim))
@@ -359,16 +379,10 @@ object Similarity {
                             dim: Int = DefaultDim): DataFrame = {
     import spark.implicits._
     val (mn, mx) = quantStats(spark, sfDir, dim)
-    val mnC = typedlit(mn)
-    val rangeC = typedlit(mn.zip(mx).map { case (a, b) => math.max(b - a, 1e-12) })
-    val q = transform($"vec", (x, i) =>
-      (round((x - element_at(mnC, i + 1)) / element_at(rangeC, i + 1) * 255)
-        - 128).cast("tinyint"))
+    val (mnC, rangeC) = quantCalib(mn, mx)
     loadEmb(spark, sfDir)
-      .withColumn("quant", q)
-      .select($"vec_id", transform($"quant", (b, i) =>
-        element_at(mnC, i + 1) +
-          (b.cast("double") + 128.0) * element_at(rangeC, i + 1) / 255.0).as("vec"))
+      .withColumn("quant", quantEncode($"vec", mnC, rangeC))
+      .select($"vec_id", quantDecode($"quant", mnC, rangeC).as("vec"))
   }
 
   /** End-to-end ANN over the QUANTIZED corpus: IVF cells + probing run
@@ -381,18 +395,13 @@ object Similarity {
                      nQueries: Int, k: Int, nprobe: Int,
                      dim: Int = DefaultDim): DataFrame = {
     import spark.implicits._
-    val exact = bruteForceTopK(spark, sfDir, nQueries, k)
-      .select($"query_id", $"neighbor_id")
     val queries = loadEmb(spark, sfDir).filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"vec".as("qvec"))
-    val approx = ivfTopKOver(dequantizedEmbeddings(spark, sfDir, dim), queries,
+    recallVs(
+      bruteForceTopK(spark, sfDir, nQueries, k).select($"query_id", $"neighbor_id"),
+      ivfTopKOver(dequantizedEmbeddings(spark, sfDir, dim), queries,
         centroidTable(spark, centroids), k, nprobe)
-      .select($"query_id", $"neighbor_id").withColumn("hit", lit(1))
-    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
-      .groupBy($"query_id")
-      .agg(count(lit(1)).as("n_exact"),
-        sum(coalesce($"hit", lit(0))).cast("long").as("n_hit"))
-      .withColumn("recall", round($"n_hit" / $"n_exact", 6))
+        .select($"query_id", $"neighbor_id"))
   }
 
   /** Embedding-cosine near-duplicate pairs (bucketed; cos ≥ threshold). */

@@ -125,15 +125,21 @@ object TextAnalysis {
       .select($"doc_id", triShingles($"text").as("tris"))
     val bench = docs.filter($"doc_id" < benchN)
       .select(explode($"tris").as("tri")).distinct()
-    val hits = docs.select($"doc_id", explode($"tris").as("tri"))
-      .join(broadcast(bench), Seq("tri"), "left_semi")
-      .groupBy($"doc_id").agg(count(lit(1)).as("n_hit"))
-    docs.join(hits, Seq("doc_id"), "left")
-      .select($"doc_id", size($"tris").as("n_trigrams"),
-        coalesce($"n_hit", lit(0L)).cast("int").as("n_overlap"),
-        round(when(size($"tris") === 0, 0.0)
-          .otherwise(coalesce($"n_hit", lit(0L)).cast("double") / size($"tris")),
-          6).as("overlap_frac"))
+    // ONE corpus shingle pass (self-review catch — the earlier form
+    // re-shingled the whole corpus a second time just for the totals):
+    // per-doc totals ride the exploded rows, explode_outer keeps
+    // zero-trigram docs, hits are flagged by the broadcast join and
+    // summed in the same aggregate
+    docs.select($"doc_id", size($"tris").as("n_trigrams"),
+        explode_outer($"tris").as("tri"))
+      .join(broadcast(bench.withColumn("__hit", lit(1))), Seq("tri"), "left")
+      .groupBy($"doc_id")
+      .agg(first($"n_trigrams").as("n_trigrams"),
+        sum(coalesce($"__hit", lit(0))).cast("int").as("n_overlap"))
+      .select($"doc_id", $"n_trigrams", $"n_overlap",
+        round(when($"n_trigrams" === 0, 0.0)
+          .otherwise($"n_overlap".cast("double") / $"n_trigrams"), 6)
+          .as("overlap_frac"))
   }
 
   /** PII SCRUBBING (pure Catalyst): redact email addresses and

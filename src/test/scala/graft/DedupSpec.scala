@@ -156,7 +156,8 @@ class DedupSpec extends SparkSuite {
     }
     assert(ex.getMessage.contains("injected crash"))
     assert(TableIO.snapshotIds(table) === Seq("cc-round-2"))
-    val resumed = Dedup.clusters(pairs, stateTable = Some(table), commitEvery = 1)
+    val resumed = Dedup.clusters(pairs, stateTable = Some(table), commitEvery = 1,
+        runId = "cc")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
     assert(resumed === reference)
     // the resumed run continued past round 2 — it never restarted at 0
