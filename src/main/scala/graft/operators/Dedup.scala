@@ -384,7 +384,12 @@ object Dedup {
             s"state table $t holds snapshots of ${foreign.mkString(",")} — " +
               s"one state table per collapse run; this run is '$runId'")
           val round = ids.last.stripPrefix(snapPrefix).toInt
-          (TableIO.read(spark, t), round + 1)
+          // EAGER localCheckpoint: the returned cluster table must not
+          // lazily scan the state table — callers routinely delete the
+          // scratch state dir right after clusters() returns (round-4
+          // advisor: if the committed round already satisfies maxIter
+          // the loop body never runs and the lazy read would dangle)
+          (TableIO.read(spark, t).localCheckpoint(), round + 1)
         }
       var it = resumed.map(_._2).getOrElse(0)
       var labels = resumed.map(_._1).getOrElse(
