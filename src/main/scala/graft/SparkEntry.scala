@@ -93,6 +93,10 @@ object SparkEntry {
     // ---- text analysis (training-data ops) ----
     "q_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(s, dir)),
     "q_quality" -> ((s, dir) => TextAnalysis.quality(s, dir)),
+    // learned quality head: frozen averaged-perceptron weights scored
+    // as a pure Catalyst linear expression; the independent SQL oracle
+    // re-derives the features AND the score with the weights inlined
+    "q_quality_learned" -> ((s, dir) => TextAnalysis.qualityLearned(s, dir)),
     // Gopher-style repetition rules (duplicate token/trigram fractions,
     // alpha ratio) — independently re-derived in DuckDB list SQL
     "q_repetition" -> ((s, dir) => TextAnalysis.repetition(s, dir)),
@@ -103,9 +107,21 @@ object SparkEntry {
     // broadcast eval-set shingle table (the first 25 docs — in-corpus,
     // so detection provably fires at 1.0); independent SQL oracle
     "q_contamination" -> ((s, dir) => TextAnalysis.contamination(s, dir, 25)),
-    // greedy fixed-budget sequence packing per source (window cumsum —
-    // the training-batch prep step; independent SQL oracle)
+    // greedy fixed-budget sequence packing per (source, shard) — the
+    // training-batch prep step; independent SQL oracle. Budgeted by
+    // regex-word counts so DuckDB can re-derive the whole rule;
+    // q_pack_bpe below is the production-budget twin (real BPE tokens)
     "q_pack_greedy" -> ((s, dir) => TextAnalysis.packGreedy(s, dir, 512)),
+    // real subword token counts from the frozen committed BPE merge
+    // table (broadcast encoder in mapPartitions); VALUES oracle — BPE
+    // is not DuckDB-expressible, determinism pinned at CPUS=2/8
+    "q_bpe_tokens" -> ((s, dir) => TextAnalysis.bpeTokenCounts(s, dir).drop("source")),
+    // packing budgeted by REAL BPE tokens — same packGreedyOver rule,
+    // the budget a training batch actually fills
+    "q_pack_bpe" -> ((s, dir) => TextAnalysis.packGreedyOver(
+      TextAnalysis.bpeTokenCounts(s, dir)
+        .select(col("doc_id"), col("source"), col("n_bpe_tokens").as("n_tokens")),
+      1024, 8)),
     // substring-level exact dedup (round-4 VERDICT "What's missing"
     // #1): repeated-passage detection + span removal at token-window
     // granularity, planted boilerplate passages, md5-pinned scrubbed
@@ -467,7 +483,80 @@ object SparkEntry {
     }
   }
 
+  /** q_quality_learned oracle: independent DuckDB re-derivation of the
+    * features and the linear score with the FROZEN learned weights
+    * inlined (%.17e — parsed as DOUBLE, exact round-trip; plain decimal
+    * literals parse as DECIMAL and can drift an ulp through the
+    * decimal→double cast). It checks the scoring end to end; the
+    * training itself is pinned by LearnedSpec.
+    */
+  private def qualityLearnedOracle: String = {
+    val w = graft.ml.QualityModel.default.map(v => f"$v%.17e")
+    val score = s"${w(0)} + ${w(1)} * f1 + ${w(2)} * f2 + ${w(3)} * f3 + " +
+      s"${w(4)} * f4 + ${w(5)} * f5 + ${w(6)} * f6"
+    s"""WITH q AS (
+         SELECT doc_id, text,
+                list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+         FROM documents),
+       t AS (
+         SELECT doc_id, text, toks, len(toks) AS n,
+                CASE WHEN len(toks) >= 3
+                     THEN list_transform(range(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                     ELSE []::VARCHAR[] END AS tris
+         FROM q),
+       f AS (
+         SELECT doc_id, n,
+                least(CAST(n AS DOUBLE), 2.0e2) / 2.0e2 AS f1,
+                CASE WHEN n = 0 THEN 0.0e0 ELSE list_sum(list_transform(toks, x -> length(x)))::DOUBLE / n / 1.0e1 END AS f2,
+                CASE WHEN n = 0 THEN 0.0e0 ELSE len(list_filter(toks, x -> x IN ('a','and','in','of','the')))::DOUBLE / n END AS f3,
+                CASE WHEN n = 0 THEN 0.0e0 ELSE 1.0e0 - len(list_distinct(toks))::DOUBLE / n END AS f4,
+                CASE WHEN len(tris) = 0 THEN 0.0e0 ELSE 1.0e0 - len(list_distinct(tris))::DOUBLE / len(tris) END AS f5,
+                CASE WHEN length(text) = 0 THEN 0.0e0 ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text) END AS f6
+         FROM t)
+       SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+              (n >= 20 AND f3 >= 1.5e-2 AND f5 <= 5.0e-1 AND f6 >= 6.0e-1) AS heur_good,
+              ($score > 0.0e0) AS pred_good,
+              round($score, 6) AS margin
+       FROM f"""
+  }
+
   private def staticOracleSql: Map[String, String] = Map(
+    "q_quality_learned" -> qualityLearnedOracle,
+    // INDEPENDENT re-derivation of the exact-Jaccard verify stage
+    // (round-4 advisor: the dedup family leaned on VALUES dumps): ALL
+    // pairs with exact trigram-shingle Jaccard ≥ 0.5 over the planted
+    // corpus — DuckDB computes it from the shingle STRINGS with no
+    // minhash anywhere, so this also proves the candidate stage
+    // (est ≥ 0.25 + hot-bucket cap) misses nothing at this scale.
+    // doc ids compare LEXICOGRAPHICALLY (the pair stages order string
+    // ids), mirrored by the varchar casts.
+    "q_jaccard_verify" ->
+      """WITH base AS (
+           SELECT CAST(CAST(doc_id AS BIGINT) AS VARCHAR) AS doc_id, text FROM documents
+           UNION ALL
+           SELECT CAST(CAST(doc_id + 1000000 AS BIGINT) AS VARCHAR),
+                  regexp_replace(text, '^\S+\s*', '') FROM documents WHERE doc_id < 20),
+         tk AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+           FROM base),
+         sh AS (
+           SELECT doc_id,
+                  CASE WHEN len(toks) >= 3
+                       THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                       ELSE [coalesce(array_to_string(toks, ' '), '')] END AS shset
+           FROM tk),
+         sz AS (SELECT doc_id, len(shset) AS n FROM sh),
+         e AS (SELECT doc_id, unnest(shset) AS s FROM sh),
+         inter AS (
+           SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+           FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT da AS doc_a, db AS doc_b,
+                round(ni::DOUBLE / (sa.n + sb.n - ni), 6) AS jaccard
+         FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+         WHERE ni::DOUBLE / (sa.n + sb.n - ni) >= 0.5""",
     "q_tf" ->
       """SELECT doc_id, tok, count(*) AS tf
          FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS tok FROM documents)
@@ -612,19 +701,29 @@ object SparkEntry {
            SELECT doc_id,
                   text ||
                   CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id || '@example.org now' ELSE '' END ||
-                  CASE WHEN doc_id % 11 = 0 THEN ' call 555-0199' ELSE '' END AS t
+                  CASE WHEN doc_id % 11 = 0 THEN ' call 555-0199' ELSE '' END ||
+                  CASE WHEN doc_id % 13 = 0 THEN ' or +44 207 946 0958' ELSE '' END ||
+                  CASE WHEN doc_id % 17 = 0 THEN ' ssn 429-58-1337' ELSE '' END ||
+                  CASE WHEN doc_id % 19 = 0 THEN ' iban DE44500105175407324931' ELSE '' END ||
+                  CASE WHEN doc_id % 23 = 0 THEN ' ships to 742 Oak Street' ELSE '' END AS t0
            FROM documents),
-         s AS (
-           SELECT doc_id, t,
-                  regexp_replace(regexp_replace(t, '[a-z0-9._]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
-                                 '555-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
-           FROM p)
+         s1 AS (SELECT doc_id, t0,
+                  regexp_replace(t0, '[a-z0-9._]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g') AS t1 FROM p),
+         s2 AS (SELECT *, regexp_replace(t1, '[A-Z]{2}[0-9]{2}[A-Z0-9]{12,30}', '<IBAN>', 'g') AS t2 FROM s1),
+         s3 AS (SELECT *, regexp_replace(t2, '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g') AS t3 FROM s2),
+         s4 AS (SELECT *, regexp_replace(t3, '\+[0-9]{1,3} [0-9]{3} [0-9]{3} [0-9]{2,4}', '<PHONE>', 'g') AS t4 FROM s3),
+         s5 AS (SELECT *, regexp_replace(t4, '555-[0-9]{4}', '<PHONE>', 'g') AS t5 FROM s4),
+         s6 AS (SELECT *, regexp_replace(t5, '[0-9]{1,4} (Main|Oak|Elm|Park|High) (Street|Avenue|Road|Lane)', '<ADDR>', 'g') AS t6 FROM s5)
          SELECT doc_id,
-                CAST(len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9.]+[a-z]')) AS INTEGER) AS n_emails,
-                CAST(len(regexp_extract_all(t, '555-[0-9]{4}')) AS INTEGER) AS n_phones,
-                CAST(length(scrubbed) AS INTEGER) AS scrubbed_len,
-                md5(scrubbed) AS scrubbed_md5
-         FROM s""",
+                CAST(len(regexp_extract_all(t0, '[a-z0-9._]+@[a-z0-9.]+[a-z]')) AS INTEGER) AS n_emails,
+                CAST(len(regexp_extract_all(t1, '[A-Z]{2}[0-9]{2}[A-Z0-9]{12,30}')) AS INTEGER) AS n_iban,
+                CAST(len(regexp_extract_all(t2, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS INTEGER) AS n_ssn,
+                CAST(len(regexp_extract_all(t3, '\+[0-9]{1,3} [0-9]{3} [0-9]{3} [0-9]{2,4}')) AS INTEGER) AS n_intl_phones,
+                CAST(len(regexp_extract_all(t4, '555-[0-9]{4}')) AS INTEGER) AS n_phones,
+                CAST(len(regexp_extract_all(t5, '[0-9]{1,4} (Main|Oak|Elm|Park|High) (Street|Avenue|Road|Lane)')) AS INTEGER) AS n_addr,
+                CAST(length(t6) AS INTEGER) AS scrubbed_len,
+                md5(t6) AS scrubbed_md5
+         FROM s6""",
     "q_contamination" ->
       """WITH q AS (
            SELECT doc_id,

