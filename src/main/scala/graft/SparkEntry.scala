@@ -107,6 +107,10 @@ object SparkEntry {
     // broadcast eval-set shingle table (the first 25 docs — in-corpus,
     // so detection provably fires at 1.0); independent SQL oracle
     "q_contamination" -> ((s, dir) => TextAnalysis.contamination(s, dir, 25)),
+    // decontamination over BPE SUBWORD trigrams (cross word boundaries,
+    // robust to re-tokenization) — same broadcast overlap stage;
+    // VALUES oracle (BPE is not SQL-expressible)
+    "q_contamination_bpe" -> ((s, dir) => TextAnalysis.contaminationBpe(s, dir, 25)),
     // greedy fixed-budget sequence packing per (source, shard) — the
     // training-batch prep step; independent SQL oracle. Budgeted by
     // regex-word counts so DuckDB can re-derive the whole rule;

@@ -103,6 +103,13 @@ object SpanDedup {
     * (doc_id, n_windows, n_dup_windows, n_covered, clean_md5).
     */
   def spanScrub(docs: DataFrame, w: Int = W): DataFrame = {
+    // NOTE (scale): this query-shaped form extracts windows twice (the
+    // dup-key aggregate and the join side are separate subtrees — no
+    // common-subplan reuse without materialization). A production run
+    // over a committed corpus materializes the windows table ONCE
+    // (TableIO, partitioned by pmod(h) — the committed-dedup-index
+    // pattern of Dedup.writeIndex) and both stages scan it; the inline
+    // form keeps the operator self-contained for the gate.
     val wins = windows(docs, w)
     // early projection: the scrub path needs only (doc_id, start, h) —
     // the window strings stay out of this shuffle entirely

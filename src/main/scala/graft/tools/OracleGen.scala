@@ -31,7 +31,7 @@ object OracleGen {
     "pipe_norm_date", "pipe_norm_quantity", "pipe_rejected", "pipe_sink",
     "pipe_span_invariant", "pipe_dedup_global", "pipe_stream", "q_pos_tag",
     "q_langid", "q_rolling_fp", "q_sample_stratified", "q_hll_distinct",
-    "q_bpe_tokens", "q_pack_bpe",
+    "q_bpe_tokens", "q_pack_bpe", "q_contamination_bpe",
     "q_simhash", "q_minhash_buckets",
     // q_jaccard_verify graduated to an INDEPENDENT DuckDB oracle
     // (exact shingle-set Jaccard is SQL-expressible; round-4 advisor) —
