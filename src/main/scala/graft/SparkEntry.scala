@@ -57,6 +57,28 @@ object SparkEntry {
       table
     })
 
+  /** Committed span-window index per input dir (SpanDedup.writeWindows
+    * — the table q_span_dedup_indexed/q_span_index/q_span_probe read).
+    * Built as base-write over the standing corpus (doc_id < 480) plus a
+    * crawl-increment APPEND of the rest, so the committed table
+    * exercises both maintenance paths before anything reads it.
+    */
+  private val spanIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def spanIndexTable(s: SparkSession, dir: String): String =
+    spanIndexCache.computeIfAbsent((s.sparkContext.applicationId, dir), { case (_, d) =>
+      val table = s"${sys.props("java.io.tmpdir")}/graft_span_idx_" +
+        s"${d}_${s.sparkContext.applicationId}".replaceAll("[^a-zA-Z0-9.]", "_") +
+        "_" + java.lang.Long.toHexString(graft.util.Det.hashStr(d))
+      val docs = operators.SpanDedup.withPlantedPassages(
+        s.read.parquet(s"$d/documents.parquet"))
+      operators.SpanDedup.writeWindows(docs.filter(col("doc_id") < 480), table)
+      operators.SpanDedup.appendWindows(docs.filter(col("doc_id") >= 480), table,
+        snapshotId = "windows-incr")
+      table
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- aggregations / ranking (SURVEY §2.3) ----
     "q_tf" -> ((s, dir) => Ranking.tf(Ranking.terms(s, dir))),
@@ -126,6 +148,12 @@ object SparkEntry {
       TextAnalysis.bpeTokenCounts(s, dir)
         .select(col("doc_id"), col("source"), col("n_bpe_tokens").as("n_tokens")),
       1024, 8)),
+    // END-TO-END curation funnel: lang gate -> learned quality gate ->
+    // PII scrub -> span scrub (within survivors) -> exact dedup ->
+    // greedy packing, as ONE composed job; each stage is the exact
+    // rule gated individually, and the DuckDB oracle re-derives the
+    // WHOLE funnel from the raw table (fully independent, end to end)
+    "q_curation_funnel" -> ((s, dir) => Curation.funnel(s, dir)),
     // substring-level exact dedup (round-4 VERDICT "What's missing"
     // #1): repeated-passage detection + span removal at token-window
     // granularity, planted boilerplate passages, md5-pinned scrubbed
@@ -135,6 +163,37 @@ object SparkEntry {
       SpanDedup.withPlantedPassages(s.read.parquet(s"$dir/documents.parquet")))),
     "q_span_pairs" -> ((s, dir) => SpanDedup.spanDupPairs(
       SpanDedup.withPlantedPassages(s.read.parquet(s"$dir/documents.parquet")))),
+    // the scrub fed from the COMMITTED windows index (base write +
+    // crawl-increment append both exercised by the builder): the
+    // corpus text is scanned exactly once (the rebuild) — both
+    // window-side stages scan the index table; output byte-equal to
+    // the inline q_span_dedup, same independent DuckDB oracle
+    "q_span_dedup_indexed" -> ((s, dir) => SpanDedup.spanScrubOver(
+      SpanDedup.withPlantedPassages(s.read.parquet(s"$dir/documents.parquet")),
+      SpanDedup.readWindows(s, spanIndexTable(s, dir)))),
+    // the committed windows table itself under the gate: totals the
+    // oracle re-derives from the window STRINGS (the xxhash64 key
+    // never leaves the Spark side)
+    "q_span_index" -> ((s, dir) =>
+      SpanDedup.readWindows(s, spanIndexTable(s, dir))
+        .agg(count(lit(1)).as("n_windows"),
+          countDistinct(col("ngram")).as("n_ngrams"),
+          countDistinct(col("doc_id")).as("n_docs"))),
+    // crawl-increment probe: which NEW docs (doc_id >= 480) carry
+    // passages already present in the standing corpus — fresh windows
+    // (small, re-extracted) semi-joined against the corpus side of
+    // the committed index; the standing corpus is never re-extracted
+    "q_span_probe" -> ((s, dir) => {
+      val docs = SpanDedup.withPlantedPassages(
+        s.read.parquet(s"$dir/documents.parquet"))
+      val freshWins = SpanDedup.windows(docs.filter(col("doc_id") >= 480))
+      val corpusIdx = SpanDedup.readWindows(s, spanIndexTable(s, dir))
+        .filter(col("doc_id") < 480)
+      freshWins.join(corpusIdx.select(col("h"), col("ngram")).distinct(),
+          Seq("h", "ngram"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_known_windows"))
+    }),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
     "q_rolling_fp" -> ((s, dir) => TextAnalysis.rollingFingerprint(s, dir)),
     "q_langid" -> ((s, dir) => TextAnalysis.langIdTable(s, dir)),
@@ -525,6 +584,157 @@ object SparkEntry {
        FROM f"""
   }
 
+  /** Independent DuckDB re-derivation of the span scrub from the
+    * window STRINGS — shared verbatim by q_span_dedup (inline) and
+    * q_span_dedup_indexed (committed-index form): the two Spark plans
+    * differ, the contracted output may not.
+    */
+  private val spanScrubSql: String =
+    """WITH p AS (
+         SELECT doc_id,
+                text || CASE WHEN doc_id % 25 = 3
+                  THEN ' this work is licensed under the creative commons attribution share alike license'
+                  ELSE '' END AS t
+         FROM documents),
+       tk AS (
+         SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(t), '[^a-z]+'), x -> x <> '') AS toks
+         FROM p),
+       w AS (
+         SELECT doc_id, toks,
+                CASE WHEN len(toks) >= 8
+                     THEN list_transform(range(1, len(toks) - 6),
+                            s -> {'start': s, 'ngram': array_to_string(list_slice(toks, s, s + 7), ' ')})
+                     ELSE CAST([] AS STRUCT("start" BIGINT, ngram VARCHAR)[]) END AS wins
+         FROM tk),
+       e AS (SELECT doc_id, unnest(wins, recursive := true) FROM w),
+       d AS (SELECT ngram FROM e GROUP BY ngram HAVING count(DISTINCT doc_id) >= 2),
+       dw AS (SELECT e.doc_id, e."start" FROM e JOIN d USING (ngram)),
+       dagg AS (SELECT doc_id, count(*) AS n_dup FROM dw GROUP BY doc_id),
+       cov AS (SELECT DISTINCT doc_id, pos FROM (
+                 SELECT doc_id, unnest(range("start", "start" + 8)) AS pos FROM dw)),
+       cagg AS (SELECT doc_id, count(*) AS n_cov, list(pos) AS cov FROM cov GROUP BY doc_id)
+       SELECT tk.doc_id,
+              CAST(CASE WHEN len(toks) >= 8 THEN len(toks) - 7 ELSE 0 END AS INTEGER) AS n_windows,
+              CAST(coalesce(dagg.n_dup, 0) AS INTEGER) AS n_dup_windows,
+              CAST(coalesce(cagg.n_cov, 0) AS INTEGER) AS n_covered,
+              md5(coalesce(array_to_string(
+                list_transform(
+                  list_filter(range(1, len(toks) + 1),
+                    i -> NOT list_contains(coalesce(cov, CAST([] AS BIGINT[])), i)),
+                  i -> toks[i]), ' '), '')) AS clean_md5
+       FROM tk LEFT JOIN dagg USING (doc_id) LEFT JOIN cagg USING (doc_id)"""
+
+  /** End-to-end independent DuckDB re-derivation of the ENTIRE
+    * curation funnel — replant, language argmax, frozen quality score
+    * (weights inlined %.17e, left-assoc — bit-identical doubles),
+    * sequential PII redaction, span scrub within survivors, md5 exact
+    * dedup, sharded greedy packing — from the raw documents table.
+    * Every fragment mirrors the corresponding per-stage oracle.
+    */
+  private def curationFunnelOracle: String = {
+    val w = graft.ml.QualityModel.default.map(v => f"$v%.17e")
+    val score = s"${w(0)} + ${w(1)} * f1 + ${w(2)} * f2 + ${w(3)} * f3 + " +
+      s"${w(4)} * f4 + ${w(5)} * f5 + ${w(6)} * f6"
+    s"""WITH p AS (
+         SELECT doc_id, source,
+                text ||
+                CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id || '@example.org now' ELSE '' END ||
+                CASE WHEN doc_id % 11 = 0 THEN ' call 555-0199' ELSE '' END ||
+                CASE WHEN doc_id % 13 = 0 THEN ' or +44 207 946 0958' ELSE '' END ||
+                CASE WHEN doc_id % 17 = 0 THEN ' ssn 429-58-1337' ELSE '' END ||
+                CASE WHEN doc_id % 19 = 0 THEN ' iban DE44500105175407324931' ELSE '' END ||
+                CASE WHEN doc_id % 23 = 0 THEN ' ships to 742 Oak Street' ELSE '' END ||
+                CASE WHEN doc_id % 25 = 3 THEN ' this work is licensed under the creative commons attribution share alike license' ELSE '' END AS t
+         FROM documents),
+       tk AS (
+         SELECT *, list_filter(regexp_split_to_array(lower(t), '[^a-z]+'), x -> x <> '') AS toks
+         FROM p),
+       ft AS (
+         SELECT *, len(toks) AS n_raw,
+                CASE WHEN len(toks) >= 3
+                     THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                     ELSE []::VARCHAR[] END AS tris,
+                len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','was','that','it','with'))) AS h_en,
+                len(list_filter(toks, x -> x IN ('der','die','das','und','ist','von','mit','ein','nicht','auch'))) AS h_de,
+                len(list_filter(toks, x -> x IN ('le','la','les','et','est','dans','pour','que','une','des'))) AS h_fr,
+                len(list_filter(toks, x -> x IN ('el','los','las','es','en','por','que','una','con','para'))) AS h_es,
+                len(list_filter(toks, x -> x IN ('il','gli','che','per','con','una','sono','della','questo','anche'))) AS h_it
+         FROM tk),
+       f AS (
+         SELECT *,
+                least(CAST(n_raw AS DOUBLE), 2.0e2) / 2.0e2 AS f1,
+                CASE WHEN n_raw = 0 THEN 0.0e0 ELSE list_sum(list_transform(toks, x -> length(x)))::DOUBLE / n_raw / 1.0e1 END AS f2,
+                CASE WHEN n_raw = 0 THEN 0.0e0 ELSE len(list_filter(toks, x -> x IN ('a','and','in','of','the')))::DOUBLE / n_raw END AS f3,
+                CASE WHEN n_raw = 0 THEN 0.0e0 ELSE 1.0e0 - len(list_distinct(toks))::DOUBLE / n_raw END AS f4,
+                CASE WHEN len(tris) = 0 THEN 0.0e0 ELSE 1.0e0 - len(list_distinct(tris))::DOUBLE / len(tris) END AS f5,
+                CASE WHEN length(t) = 0 THEN 0.0e0 ELSE length(regexp_replace(t, '[^A-Za-z]', '', 'g'))::DOUBLE / length(t) END AS f6
+         FROM ft),
+       base AS (
+         SELECT *,
+                (h_en = greatest(h_en, h_de, h_fr, h_es, h_it) AND h_en > 0) AS lang_ok,
+                ($score > 0.0e0) AS qual_ok,
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+                  '[a-z0-9._]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
+                  '[A-Z]{2}[0-9]{2}[A-Z0-9]{12,30}', '<IBAN>', 'g'),
+                  '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+                  '\\+[0-9]{1,3} [0-9]{3} [0-9]{3} [0-9]{2,4}', '<PHONE>', 'g'),
+                  '555-[0-9]{4}', '<PHONE>', 'g'),
+                  '[0-9]{1,4} (Main|Oak|Elm|Park|High) (Street|Avenue|Road|Lane)', '<ADDR>', 'g') AS t_s
+         FROM f),
+       bs AS (SELECT *, list_filter(regexp_split_to_array(lower(t_s), '[^a-z]+'), x -> x <> '') AS toks_s FROM base),
+       surv AS (SELECT doc_id, source, toks_s, len(toks_s) AS n_s FROM bs WHERE lang_ok AND qual_ok),
+       w AS (
+         SELECT doc_id,
+                CASE WHEN len(toks_s) >= 8
+                     THEN list_transform(range(1, len(toks_s) - 6),
+                            s -> {'start': s, 'ngram': array_to_string(list_slice(toks_s, s, s + 7), ' ')})
+                     ELSE CAST([] AS STRUCT("start" BIGINT, ngram VARCHAR)[]) END AS wins
+         FROM surv),
+       e AS (SELECT doc_id, unnest(wins, recursive := true) FROM w),
+       d AS (SELECT ngram FROM e GROUP BY ngram HAVING count(DISTINCT doc_id) >= 2),
+       dw AS (SELECT e.doc_id, e."start" FROM e JOIN d USING (ngram)),
+       cv AS (SELECT DISTINCT doc_id, pos FROM (
+                SELECT doc_id, unnest(range("start", "start" + 8)) AS pos FROM dw)),
+       cagg AS (SELECT doc_id, count(*) AS n_cov, list(pos) AS cov FROM cv GROUP BY doc_id),
+       clean AS (
+         SELECT s.doc_id, s.source,
+                CAST(s.n_s - coalesce(c.n_cov, 0) AS BIGINT) AS n_clean,
+                md5(coalesce(array_to_string(
+                  list_transform(
+                    list_filter(range(1, s.n_s + 1),
+                      i -> NOT list_contains(coalesce(c.cov, CAST([] AS BIGINT[])), i)),
+                    i -> s.toks_s[i]), ' '), '')) AS cmd5
+         FROM surv s LEFT JOIN cagg c USING (doc_id)),
+       kept AS (SELECT cmd5, min(doc_id) AS doc_id, arg_min(source, doc_id) AS source,
+                       min(n_clean) AS n_tokens
+                FROM clean GROUP BY cmd5),
+       sh AS (SELECT *, CAST(((CAST(doc_id AS BIGINT) * 2654435761) >> 16) % 8 AS BIGINT) AS shard FROM kept),
+       cm AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM sh),
+       pk AS (SELECT source, shard, CAST(floor((cum - 1) / 512) AS BIGINT) AS pack_id,
+                     CAST(sum(n_tokens) AS BIGINT) AS st
+              FROM cm GROUP BY 1, 2, 3),
+       head AS (
+         SELECT count(*) AS d0, CAST(sum(n_raw) AS BIGINT) AS t0,
+                CAST(sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+                CAST(sum(CASE WHEN lang_ok THEN n_raw ELSE 0 END) AS BIGINT) AS t1,
+                CAST(sum(CASE WHEN lang_ok AND qual_ok THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+                CAST(sum(CASE WHEN lang_ok AND qual_ok THEN n_raw ELSE 0 END) AS BIGINT) AS t2,
+                CAST(sum(CASE WHEN lang_ok AND qual_ok THEN len(toks_s) ELSE 0 END) AS BIGINT) AS t3
+         FROM bs)
+       SELECT 0 AS ord, 'raw' AS stage, d0 AS n_docs, t0 AS n_tokens FROM head
+       UNION ALL SELECT 1, 'lang_en', d1, t1 FROM head
+       UNION ALL SELECT 2, 'quality', d2, t2 FROM head
+       UNION ALL SELECT 3, 'pii_scrubbed', d2, t3 FROM head
+       UNION ALL SELECT 4, 'span_scrubbed', (SELECT count(*) FROM clean),
+                 (SELECT CAST(coalesce(sum(n_clean), 0) AS BIGINT) FROM clean)
+       UNION ALL SELECT 5, 'dedup', (SELECT count(*) FROM kept),
+                 (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM kept)
+       UNION ALL SELECT 6, 'packed', (SELECT count(*) FROM pk),
+                 (SELECT CAST(coalesce(sum(st), 0) AS BIGINT) FROM pk)"""
+  }
+
   private def staticOracleSql: Map[String, String] = Map(
     "q_quality_learned" -> qualityLearnedOracle,
     // INDEPENDENT re-derivation of the exact-Jaccard verify stage
@@ -763,7 +973,12 @@ object SparkEntry {
                 count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
                 min(doc_id) AS first_doc, max(doc_id) AS last_doc
          FROM c GROUP BY 1, 2, 3""",
-    "q_span_dedup" ->
+    "q_curation_funnel" -> curationFunnelOracle,
+    "q_span_dedup" -> spanScrubSql,
+    // the committed-index form MUST be byte-equal to the inline scrub
+    // — literally the same independent oracle derivation
+    "q_span_dedup_indexed" -> spanScrubSql,
+    "q_span_index" ->
       """WITH p AS (
            SELECT doc_id,
                   text || CASE WHEN doc_id % 25 = 3
@@ -775,29 +990,39 @@ object SparkEntry {
                   list_filter(regexp_split_to_array(lower(t), '[^a-z]+'), x -> x <> '') AS toks
            FROM p),
          w AS (
-           SELECT doc_id, toks,
+           SELECT doc_id,
                   CASE WHEN len(toks) >= 8
                        THEN list_transform(range(1, len(toks) - 6),
-                              s -> {'start': s, 'ngram': array_to_string(list_slice(toks, s, s + 7), ' ')})
-                       ELSE CAST([] AS STRUCT("start" BIGINT, ngram VARCHAR)[]) END AS wins
+                              s -> array_to_string(list_slice(toks, s, s + 7), ' '))
+                       ELSE CAST([] AS VARCHAR[]) END AS wins
            FROM tk),
-         e AS (SELECT doc_id, unnest(wins, recursive := true) FROM w),
-         d AS (SELECT ngram FROM e GROUP BY ngram HAVING count(DISTINCT doc_id) >= 2),
-         dw AS (SELECT e.doc_id, e."start" FROM e JOIN d USING (ngram)),
-         dagg AS (SELECT doc_id, count(*) AS n_dup FROM dw GROUP BY doc_id),
-         cov AS (SELECT DISTINCT doc_id, pos FROM (
-                   SELECT doc_id, unnest(range("start", "start" + 8)) AS pos FROM dw)),
-         cagg AS (SELECT doc_id, count(*) AS n_cov, list(pos) AS cov FROM cov GROUP BY doc_id)
-         SELECT tk.doc_id,
-                CAST(CASE WHEN len(toks) >= 8 THEN len(toks) - 7 ELSE 0 END AS INTEGER) AS n_windows,
-                CAST(coalesce(dagg.n_dup, 0) AS INTEGER) AS n_dup_windows,
-                CAST(coalesce(cagg.n_cov, 0) AS INTEGER) AS n_covered,
-                md5(coalesce(array_to_string(
-                  list_transform(
-                    list_filter(range(1, len(toks) + 1),
-                      i -> NOT list_contains(coalesce(cov, CAST([] AS BIGINT[])), i)),
-                    i -> toks[i]), ' '), '')) AS clean_md5
-         FROM tk LEFT JOIN dagg USING (doc_id) LEFT JOIN cagg USING (doc_id)""",
+         e AS (SELECT doc_id, unnest(wins) AS ngram FROM w)
+         SELECT count(*) AS n_windows, count(DISTINCT ngram) AS n_ngrams,
+                count(DISTINCT doc_id) AS n_docs
+         FROM e""",
+    "q_span_probe" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  text || CASE WHEN doc_id % 25 = 3
+                    THEN ' this work is licensed under the creative commons attribution share alike license'
+                    ELSE '' END AS t
+           FROM documents),
+         tk AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(t), '[^a-z]+'), x -> x <> '') AS toks
+           FROM p),
+         w AS (
+           SELECT doc_id,
+                  CASE WHEN len(toks) >= 8
+                       THEN list_transform(range(1, len(toks) - 6),
+                              s -> array_to_string(list_slice(toks, s, s + 7), ' '))
+                       ELSE CAST([] AS VARCHAR[]) END AS wins
+           FROM tk),
+         e AS (SELECT doc_id, unnest(wins) AS ngram FROM w),
+         old AS (SELECT DISTINCT ngram FROM e WHERE doc_id < 480),
+         f AS (SELECT doc_id, ngram FROM e WHERE doc_id >= 480)
+         SELECT f.doc_id, CAST(count(*) AS INTEGER) AS n_known_windows
+         FROM f JOIN old USING (ngram) GROUP BY 1""",
     "q_span_pairs" ->
       """WITH p AS (
            SELECT doc_id,

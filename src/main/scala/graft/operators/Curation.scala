@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** END-TO-END training-data curation funnel — the whole LLM-pipeline
+  * story run as ONE composed Spark job over the documents table:
+  *
+  *   raw → language gate (langId == en) → learned quality gate
+  *       → PII scrub → span-level boilerplate scrub (duplicate keys
+  *       computed WITHIN the surviving corpus) → exact dedup of the
+  *       scrubbed text → greedy sequence packing
+  *
+  * Output: one funnel row per stage `(ord, stage, n_docs, n_tokens)` —
+  * the report a curation run actually ships (how much survived each
+  * gate, how many tokens reach the packer). Every stage reuses the
+  * EXACT rule gated individually elsewhere (TextAnalysis.langId, the
+  * frozen QualityModel score, the sequential PiiBank redaction, the
+  * SpanDedup window rule, packGreedyOver), so the per-stage oracles
+  * and this end-to-end one certify the same arithmetic; the DuckDB
+  * oracle re-derives the ENTIRE funnel from the raw table.
+  *
+  * Scale shape at 100 TB: the per-doc stages (lang, quality, PII) are
+  * pure codegen'd row expressions on the single corpus scan; the span
+  * scrub is the (hash, doc_id) shuffle pair of SpanDedup; dedup is one
+  * hash groupBy on the 16-byte clean_md5; packing is the sharded
+  * window. The query-shaped funnel recomputes the annotated subtree
+  * once per count branch (union of tiny aggregates) — a production
+  * run materializes the per-doc `clean` frame once (TableIO, the
+  * committed-windows pattern) and the funnel is one pass over it.
+  * Semantics note: a doc whose every token sits under a duplicated
+  * window scrubs to the empty string, and all such docs share
+  * md5("") — pure-boilerplate documents deliberately collapse to a
+  * single (empty) representative at the dedup stage.
+  */
+object Curation {
+
+  /** Token budget per pack and window shards — the q_pack_greedy pair. */
+  val Budget = 512
+  val Shards = 8
+
+  /** The fixture plants (PII suffixes, then the boilerplate passage) —
+    * identical rules to q_pii_scrub / q_span_dedup, so every funnel
+    * stage provably fires at fixture scale; the oracle replants
+    * identically. Keeps (doc_id, source, text).
+    */
+  def planted(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      concat(TextAnalysis.piiPlanted(col("doc_id"), col("text")),
+        when(col("doc_id") % 25 === 3, lit(" " + SpanDedup.Passage))
+          .otherwise(lit("")))
+        .as("text"))
+
+  def funnel(spark: SparkSession, sfDir: String): DataFrame =
+    funnelOver(spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text")))
+
+  def funnelOver(raw: DataFrame): DataFrame = {
+    val docs = planted(raw)
+    val (nTok, _, score) = TextAnalysis.learnedFeatures(col("text"))
+    // one annotated per-doc frame carries every per-row signal: raw
+    // token count, both gate decisions, the PII-redacted text and its
+    // token count — all codegen'd expressions over one scan subtree
+    val base = docs.select(
+        col("doc_id"), col("source"), nTok.as("n_raw"),
+        (TextAnalysis.langId(col("text")) === "en").as("lang_ok"),
+        (score > 0).as("qual_ok"),
+        TextAnalysis.piiScrubbed(col("text")).as("t_s"))
+      .withColumn("n_s", size(TextAnalysis.toks(col("t_s"))))
+    val surv = base.filter(col("lang_ok") && col("qual_ok"))
+    // span scrub over the SURVIVING corpus's redacted text: duplicate
+    // window keys are computed within what the earlier gates kept
+    val scrub = SpanDedup.spanScrub(
+        surv.select(col("doc_id"), col("t_s").as("text")))
+      .select(col("doc_id"), col("n_covered"), col("clean_md5"))
+    val clean = surv.select(col("doc_id"), col("source"), col("n_s"))
+      .join(scrub, Seq("doc_id"))
+      .withColumn("n_clean", (col("n_s") - col("n_covered")).cast("long"))
+    // exact dedup on the scrubbed bytes: identical clean text implies
+    // identical token count, so any group member's n_clean serves
+    val kept = clean.groupBy(col("clean_md5"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min_by(col("source"), col("doc_id")).as("source"),
+        min(col("n_clean")).as("n_tokens"))
+    val packs = TextAnalysis.packGreedyOver(
+      kept.select(col("doc_id"), col("source"), col("n_tokens")),
+      Budget, Shards)
+
+    // stages 0-3 fold into ONE aggregate over the annotated frame
+    // (conditional sums), exploded to funnel rows
+    val head = base.agg(
+      count(lit(1)).as("d0"),
+      coalesce(sum(col("n_raw").cast("long")), lit(0L)).as("t0"),
+      coalesce(sum(when(col("lang_ok"), 1L).otherwise(0L)), lit(0L)).as("d1"),
+      coalesce(sum(when(col("lang_ok"), col("n_raw").cast("long"))
+        .otherwise(0L)), lit(0L)).as("t1"),
+      coalesce(sum(when(col("lang_ok") && col("qual_ok"), 1L)
+        .otherwise(0L)), lit(0L)).as("d2"),
+      coalesce(sum(when(col("lang_ok") && col("qual_ok"),
+        col("n_raw").cast("long")).otherwise(0L)), lit(0L)).as("t2"),
+      coalesce(sum(when(col("lang_ok") && col("qual_ok"),
+        col("n_s").cast("long")).otherwise(0L)), lit(0L)).as("t3"))
+    val headRows = head.select(explode(array(
+        struct(lit(0).as("ord"), lit("raw").as("stage"),
+          col("d0").cast("long").as("n_docs"), col("t0").as("n_tokens")),
+        struct(lit(1).as("ord"), lit("lang_en").as("stage"),
+          col("d1").as("n_docs"), col("t1").as("n_tokens")),
+        struct(lit(2).as("ord"), lit("quality").as("stage"),
+          col("d2").as("n_docs"), col("t2").as("n_tokens")),
+        struct(lit(3).as("ord"), lit("pii_scrubbed").as("stage"),
+          col("d2").as("n_docs"), col("t3").as("n_tokens")))).as("r"))
+      .select(col("r.ord"), col("r.stage"), col("r.n_docs"), col("r.n_tokens"))
+
+    def tail(ord: Int, stage: String, df: DataFrame, tokens: Column) =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(tokens), lit(0L)).as("n_tokens"))
+        .select(lit(ord).as("ord"), lit(stage).as("stage"),
+          col("n_docs").cast("long").as("n_docs"),
+          col("n_tokens").cast("long").as("n_tokens"))
+
+    headRows
+      .union(tail(4, "span_scrubbed", clean, col("n_clean")))
+      .union(tail(5, "dedup", kept, col("n_tokens")))
+      .union(tail(6, "packed", packs, col("sum_tokens")))
+  }
+}

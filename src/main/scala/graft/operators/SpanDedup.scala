@@ -97,20 +97,56 @@ object SpanDedup {
       .filter(col("n_docs") >= 2)
       .select(col("h"))
 
+  /** Shard count for the committed windows table's partitioning. */
+  val IndexShards = 16
+
+  /** COMMITTED windows index (closes the scale NOTE that used to sit in
+    * `spanScrub`): the query-shaped scrub extracts windows TWICE — the
+    * dup-key aggregate and the join side are separate subtrees, and
+    * Spark has no common-subplan reuse without materialization. A
+    * production run over a committed corpus materializes the windows
+    * table ONCE (TableIO snapshot, partitioned by pmod(h, shards) so a
+    * dup-key probe is partition-prunable) and BOTH stages scan it; the
+    * corpus text is then touched exactly once, for the rebuild. Same
+    * pattern as `Dedup.writeIndex` — and the same maintenance story:
+    * a crawl increment appends its windows (`appendWindows`), it never
+    * re-extracts the corpus.
+    */
+  def writeWindows(docs: DataFrame, table: String, w: Int = W,
+                   shards: Int = IndexShards,
+                   snapshotId: String = "windows"): graft.sources.TableIO.Manifest =
+    graft.sources.TableIO.write(
+      windows(docs, w).withColumn("shard", pmod(col("h"), lit(shards.toLong))),
+      table, partitionBy = Seq("shard"), snapshotId = snapshotId)
+
+  def appendWindows(docs: DataFrame, table: String, snapshotId: String,
+                    w: Int = W, shards: Int = IndexShards): graft.sources.TableIO.Manifest =
+    graft.sources.TableIO.write(
+      windows(docs, w).withColumn("shard", pmod(col("h"), lit(shards.toLong))),
+      table, partitionBy = Seq("shard"), snapshotId = snapshotId,
+      mode = org.apache.spark.sql.SaveMode.Append)
+
+  def readWindows(spark: SparkSession, table: String): DataFrame =
+    graft.sources.TableIO.read(spark, table)
+      .select(col("doc_id"), col("start").cast("int").as("start"),
+        col("ngram"), col("h"))
+
   /** Per-doc duplicate-passage metrics + the scrubbed text: tokens at
     * positions covered by ANY duplicated window are removed; clean_md5
     * pins byte equality of the rebuilt text. Output:
     * (doc_id, n_windows, n_dup_windows, n_covered, clean_md5).
+    *
+    * Inline form — extracts windows as a subplan (twice; see
+    * `writeWindows`). `spanScrubOver` is the committed-index form.
     */
-  def spanScrub(docs: DataFrame, w: Int = W): DataFrame = {
-    // NOTE (scale): this query-shaped form extracts windows twice (the
-    // dup-key aggregate and the join side are separate subtrees — no
-    // common-subplan reuse without materialization). A production run
-    // over a committed corpus materializes the windows table ONCE
-    // (TableIO, partitioned by pmod(h) — the committed-dedup-index
-    // pattern of Dedup.writeIndex) and both stages scan it; the inline
-    // form keeps the operator self-contained for the gate.
-    val wins = windows(docs, w)
+  def spanScrub(docs: DataFrame, w: Int = W): DataFrame =
+    spanScrubOver(docs, windows(docs, w), w)
+
+  /** The scrub over an explicit windows frame — pass `readWindows` of a
+    * committed table and the corpus text is scanned exactly once (the
+    * rebuild); the two window-side stages scan the index table.
+    */
+  def spanScrubOver(docs: DataFrame, wins: DataFrame, w: Int = W): DataFrame = {
     // early projection: the scrub path needs only (doc_id, start, h) —
     // the window strings stay out of this shuffle entirely
     val dup = wins.select(col("doc_id"), col("start"), col("h"))

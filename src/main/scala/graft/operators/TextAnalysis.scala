@@ -19,7 +19,7 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "las", "es", "en", "por", "que", "una", "con", "para"),
     "it" -> Seq("il", "gli", "che", "per", "con", "una", "sono", "della", "questo", "anche"))
 
-  private def toks(text: Column): Column =
+  private[operators] def toks(text: Column): Column =
     filter(split(lower(text), "[^a-z]+"), t => t =!= "")
 
   /** Stopword-hit score for one language over a token array. */
@@ -77,9 +77,21 @@ object TextAnalysis {
     */
   def qualityLearned(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val w = graft.ml.QualityModel.default
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val tokens = toks($"text")
+    val (nTok, heur, score) = learnedFeatures($"text")
+    docs.select($"doc_id", nTok.as("n_tokens"), heur.as("heur_good"),
+      (score > 0).as("pred_good"), round(score, 6).as("margin"))
+  }
+
+  /** The learned-quality expression components over an arbitrary text
+    * column — (token count, silver heuristic, frozen-perceptron score).
+    * Shared by qualityLearned and the Curation funnel; the expression
+    * construction is IDENTICAL, so q_quality_learned's bit-exact oracle
+    * covers both uses.
+    */
+  private[graft] def learnedFeatures(text: Column): (Column, Column, Column) = {
+    val w = graft.ml.QualityModel.default
+    val tokens = toks(text)
     val nTok = size(tokens)
     val tris = triWindows(tokens)
     val f1 = least(nTok.cast("double"), lit(200.0)) / 200.0
@@ -94,16 +106,15 @@ object TextAnalysis {
       .otherwise(lit(1.0) - size(array_distinct(tokens)).cast("double") / nTok)
     val f5 = when(size(tris) === 0, 0.0)
       .otherwise(lit(1.0) - size(array_distinct(tris)).cast("double") / size(tris))
-    val f6 = when(length($"text") === 0, 0.0)
-      .otherwise(length(regexp_replace($"text", "[^A-Za-z]", ""))
-        .cast("double") / length($"text"))
+    val f6 = when(length(text) === 0, 0.0)
+      .otherwise(length(regexp_replace(text, "[^A-Za-z]", ""))
+        .cast("double") / length(text))
     // left-associated sum — the oracle mirrors the exact order, so the
     // IEEE double result is bit-identical
     val score = lit(w(0)) + lit(w(1)) * f1 + lit(w(2)) * f2 + lit(w(3)) * f3 +
       lit(w(4)) * f4 + lit(w(5)) * f5 + lit(w(6)) * f6
     val heur = nTok >= 20 && f3 >= 0.015 && f5 <= 0.5 && f6 >= 0.6
-    docs.select($"doc_id", nTok.as("n_tokens"), heur.as("heur_good"),
-      (score > 0).as("pred_good"), round(score, 6).as("margin"))
+    (nTok, heur, score)
   }
 
   /** Gopher-style REPETITION signals (pure Catalyst, codegen'd) — the
@@ -261,19 +272,30 @@ object TextAnalysis {
   val EmailRe: String = PiiBank.head._2
   val PhoneRe = "555-[0-9]{4}"
 
+  /** The deterministic PII fixture plants (same rules the oracle
+    * replants) — shared by piiScrub and the Curation funnel. */
+  private[graft] def piiPlanted(docId: Column, text: Column): Column =
+    concat(text,
+      when(docId % 7 === 0,
+        concat(lit(" contact user"), docId, lit("@example.org now")))
+        .otherwise(lit("")),
+      when(docId % 11 === 0, lit(" call 555-0199")).otherwise(lit("")),
+      when(docId % 13 === 0, lit(" or +44 207 946 0958")).otherwise(lit("")),
+      when(docId % 17 === 0, lit(" ssn 429-58-1337")).otherwise(lit("")),
+      when(docId % 19 === 0, lit(" iban DE44500105175407324931"))
+        .otherwise(lit("")),
+      when(docId % 23 === 0, lit(" ships to 742 Oak Street")).otherwise(lit("")))
+
+  /** The full sequential PiiBank redaction of a text column (no
+    * counts) — class k is replaced on the text with classes 1..k-1
+    * already redacted, exactly piiScrub's rule. */
+  private[graft] def piiScrubbed(text: Column): Column =
+    PiiBank.foldLeft(text) { case (t, (_, re, tag)) => regexp_replace(t, re, tag) }
+
   def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val planted = concat($"text",
-      when($"doc_id" % 7 === 0,
-        concat(lit(" contact user"), $"doc_id", lit("@example.org now")))
-        .otherwise(lit("")),
-      when($"doc_id" % 11 === 0, lit(" call 555-0199")).otherwise(lit("")),
-      when($"doc_id" % 13 === 0, lit(" or +44 207 946 0958")).otherwise(lit("")),
-      when($"doc_id" % 17 === 0, lit(" ssn 429-58-1337")).otherwise(lit("")),
-      when($"doc_id" % 19 === 0, lit(" iban DE44500105175407324931"))
-        .otherwise(lit("")),
-      when($"doc_id" % 23 === 0, lit(" ships to 742 Oak Street")).otherwise(lit("")))
+    val planted = piiPlanted($"doc_id", $"text")
     // sequential scrub: class k counts on the text after classes 1..k-1
     val (cols, scrubbed) = PiiBank.foldLeft(
         (Seq.empty[org.apache.spark.sql.Column], planted)) {

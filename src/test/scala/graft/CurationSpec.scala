@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Curation
+
+/** End-to-end curation funnel: stage monotonicity, conservation laws,
+  * and layout determinism. Value-level correctness is certified by the
+  * independent end-to-end DuckDB oracle (q_curation_funnel).
+  */
+class CurationSpec extends SparkSuite {
+
+  private def funnelMap = Curation.funnel(spark, "/root/testdata/sf0.001")
+    .collect().map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+
+  test("funnel stages are monotone; every stage fires at fixture scale") {
+    val f = funnelMap
+    assert(f.size === 7)
+    assert(f("raw")._1 > 0)
+    // gates only drop documents
+    assert(f("raw")._1 >= f("lang_en")._1)
+    assert(f("lang_en")._1 >= f("quality")._1)
+    assert(f("quality")._1 > 0, "quality gate killed the whole corpus")
+    // transforms keep the doc count
+    assert(f("pii_scrubbed")._1 === f("quality")._1)
+    assert(f("span_scrubbed")._1 === f("quality")._1)
+    // dedup only drops; packing conserves the kept tokens exactly
+    assert(f("dedup")._1 <= f("span_scrubbed")._1)
+    assert(f("packed")._2 === f("dedup")._2)
+    // the span scrub can only remove tokens
+    assert(f("span_scrubbed")._2 <= f("pii_scrubbed")._2)
+  }
+
+  test("planted PII and boilerplate move the token counts") {
+    val f = funnelMap
+    // PII redaction shrinks token counts (user<id>@example.org -> email)
+    assert(f("pii_scrubbed")._2 < f("quality")._2)
+    // the planted passage duplicates across >= 2 survivors at 60 docs
+    // (doc_id 3, 28, 53), so the span stage provably removes tokens
+    assert(f("span_scrubbed")._2 < f("pii_scrubbed")._2)
+  }
+
+  test("funnel is identical across partition layouts") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "source", "text")
+    val a = Curation.funnelOver(docs.repartition(1)).collect()
+      .map(_.toSeq).sortBy(_.mkString("|"))
+    val b = Curation.funnelOver(docs.repartition(7)).collect()
+      .map(_.toSeq).sortBy(_.mkString("|"))
+    assert(a.toSeq === b.toSeq)
+  }
+}

@@ -108,6 +108,28 @@ class PlanSpec extends SparkSuite {
     assert(scans.count(_.contains("documents.parquet")) === 4, scans.mkString("\n"))
   }
 
+  test("indexed span scrub reads the committed windows table; corpus text scanned once") {
+    // both window-side stages must scan the committed span index; the
+    // documents table appears exactly once — the text rebuild
+    val df = SparkEntry.queries("q_span_dedup_indexed")(spark, sf)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.mkString(",")
+    }
+    assert(scans.count(_.contains("graft_span_idx")) >= 2, scans.mkString("\n"))
+    assert(scans.count(_.contains("documents.parquet")) === 1, scans.mkString("\n"))
+    // the crawl-increment probe re-extracts only the FRESH batch: one
+    // documents scan, corpus side from the index
+    val probe = SparkEntry.queries("q_span_probe")(spark, sf)
+    val pScans = probe.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.mkString(",")
+    }
+    // one scan per committed snapshot (base write + the append)
+    assert(pScans.count(_.contains("graft_span_idx")) >= 1, pScans.mkString("\n"))
+    assert(pScans.count(_.contains("documents.parquet")) === 1, pScans.mkString("\n"))
+  }
+
   test("cluster-collapse iteration: equi-join + hash agg, no cartesian") {
     import graft.operators.Dedup
     import spark.implicits._

@@ -68,6 +68,32 @@ class SpanDedupSpec extends SparkSuite {
     }
   }
 
+  test("committed windows index: write + append roundtrip equals inline extraction") {
+    val dir = java.nio.file.Files.createTempDirectory("span_idx").toString
+    try {
+      val table = s"$dir/windows"
+      // base build over part of the corpus, crawl-increment append of
+      // the rest — the two maintenance paths SparkEntry exercises
+      SpanDedup.writeWindows(corpus.filter($"doc_id" <= 2), table)
+      SpanDedup.appendWindows(corpus.filter($"doc_id" >= 3), table, "incr")
+      val fromIndex = SpanDedup.readWindows(spark, table).collect()
+        .map(_.toSeq).sortBy(_.mkString("|"))
+      val inline = SpanDedup.windows(corpus).collect()
+        .map(_.toSeq).sortBy(_.mkString("|"))
+      assert(fromIndex.toSeq === inline.toSeq)
+      // and the scrub over the committed table is byte-equal to inline
+      val a = SpanDedup.spanScrubOver(corpus, SpanDedup.readWindows(spark, table))
+        .collect().map(_.toSeq).sortBy(_.mkString("|"))
+      val b = SpanDedup.spanScrub(corpus).collect()
+        .map(_.toSeq).sortBy(_.mkString("|"))
+      assert(a.toSeq === b.toSeq)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(java.nio.file.Paths.get(dir)))(
+        _.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete))
+    }
+  }
+
   test("scrub output is identical across partition layouts") {
     val a = SpanDedup.spanScrub(corpus.repartition(1)).collect()
       .map(_.toSeq).sortBy(_.mkString("|"))
