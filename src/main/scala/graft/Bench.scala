@@ -58,8 +58,12 @@ object Bench {
     "q_ann_brute", "q_ann_lsh", "q_ann_ivf", "q_quality", "q_media_stats",
     "q_cosine_dup", "q_dedup_clusters",
     "q_dedup_incremental", "q_repetition",
-    // round 5: substring-level span dedup + BPE token counting
-    "q_span_dedup", "q_bpe_tokens")
+    // round 5: substring-level span dedup + BPE token counting, the
+    // committed-windows scrub (sweep 1 pays the one-time index build;
+    // min-of-K reflects the steady state, like q_dedup_incremental),
+    // and the end-to-end curation funnel
+    "q_span_dedup", "q_bpe_tokens", "q_span_dedup_indexed",
+    "q_curation_funnel")
 
   /** Quiet-host reference time of `calibrate` on THIS host class
     * (local[32]; min of 9 warm samples across two JVMs at external

@@ -524,6 +524,13 @@ object SparkEntry {
     // is independent SQL over the single-copy events)
     "pipe_stream_dedup" -> ((s, dir) =>
       graft.streaming.Streaming.dedupedEventCounts(s, dir)),
+    // streaming incremental curation: the crawl increment (fresh +
+    // re-crawled docs, double-fed across micro-batches) through the
+    // curation gates, a STREAM-STATIC anti-join against the standing
+    // corpus's scrubbed fingerprints, and cross-batch md5 dedup;
+    // independent SQL oracle re-derives the admitted set
+    "pipe_stream_curation" -> ((s, dir) =>
+      graft.streaming.Streaming.curatedIngest(s, dir)),
     "pipe_eval" -> ((s, dir) => Pipeline.evaluate(s, dir))
   )
 
@@ -632,7 +639,11 @@ object SparkEntry {
     * dedup, sharded greedy packing — from the raw documents table.
     * Every fragment mirrors the corresponding per-stage oracle.
     */
-  private def curationFunnelOracle: String = {
+  /** Shared CTE prefix (replant → tokens → features → gates + PII
+    * redaction) of the curation-family oracles: ends at `base`
+    * carrying (doc_id, source, t, toks, n_raw, lang_ok, qual_ok, t_s).
+    */
+  private def curationBaseSql: String = {
     val w = graft.ml.QualityModel.default.map(v => f"$v%.17e")
     val score = s"${w(0)} + ${w(1)} * f1 + ${w(2)} * f2 + ${w(3)} * f3 + " +
       s"${w(4)} * f4 + ${w(5)} * f5 + ${w(6)} * f6"
@@ -681,7 +692,11 @@ object SparkEntry {
                   '\\+[0-9]{1,3} [0-9]{3} [0-9]{3} [0-9]{2,4}', '<PHONE>', 'g'),
                   '555-[0-9]{4}', '<PHONE>', 'g'),
                   '[0-9]{1,4} (Main|Oak|Elm|Park|High) (Street|Avenue|Road|Lane)', '<ADDR>', 'g') AS t_s
-         FROM f),
+         FROM f)"""
+  }
+
+  private def curationFunnelOracle: String =
+    s"""$curationBaseSql,
        bs AS (SELECT *, list_filter(regexp_split_to_array(lower(t_s), '[^a-z]+'), x -> x <> '') AS toks_s FROM base),
        surv AS (SELECT doc_id, source, toks_s, len(toks_s) AS n_s FROM bs WHERE lang_ok AND qual_ok),
        w AS (
@@ -733,7 +748,27 @@ object SparkEntry {
                  (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM kept)
        UNION ALL SELECT 6, 'packed', (SELECT count(*) FROM pk),
                  (SELECT CAST(coalesce(sum(st), 0) AS BIGINT) FROM pk)"""
-  }
+
+  /** Independent re-derivation of the streamed curation ingest: the
+    * increment (fresh docs + re-crawls) through the gates, the
+    * standing-corpus fingerprint anti-join, and the md5 dedup — what
+    * pipe_stream_curation's stateful stream must equal.
+    */
+  private def streamCurationOracle: String =
+    s"""$curationBaseSql,
+       corp AS (SELECT DISTINCT md5(t_s) AS m FROM base WHERE doc_id < 480),
+       cand AS (SELECT doc_id, source, t_s FROM base
+                WHERE (doc_id >= 480 OR (doc_id < 480 AND doc_id % 50 = 1))
+                  AND lang_ok AND qual_ok),
+       adm AS (SELECT md5(t_s) AS m, min(doc_id) AS doc_id,
+                      arg_min(source, doc_id) AS source,
+                      min(len(list_filter(regexp_split_to_array(lower(t_s), '[^a-z]+'), x -> x <> ''))) AS n_tokens
+               FROM cand
+               WHERE md5(t_s) NOT IN (SELECT m FROM corp)
+               GROUP BY 1)
+       SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+              min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       FROM adm GROUP BY source"""
 
   private def staticOracleSql: Map[String, String] = Map(
     "q_quality_learned" -> qualityLearnedOracle,
@@ -1115,6 +1150,7 @@ object SparkEntry {
     "pipe_stream_dedup" ->
       """SELECT event_type, count(*) AS n_events,
                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-         FROM events GROUP BY event_type"""
+         FROM events GROUP BY event_type""",
+    "pipe_stream_curation" -> streamCurationOracle
   )
 }

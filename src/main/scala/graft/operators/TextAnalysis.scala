@@ -19,7 +19,7 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "las", "es", "en", "por", "que", "una", "con", "para"),
     "it" -> Seq("il", "gli", "che", "per", "con", "una", "sono", "della", "questo", "anche"))
 
-  private[operators] def toks(text: Column): Column =
+  private[graft] def toks(text: Column): Column =
     filter(split(lower(text), "[^a-z]+"), t => t =!= "")
 
   /** Stopword-hit score for one language over a token array. */
@@ -29,8 +29,15 @@ object TextAnalysis {
   /** Heuristic language ID: argmax stopword hits; tie/zero -> 'und'.
     * Deterministic tie-break: language order en,de,fr,es,it.
     */
-  def langId(text: Column): Column = {
-    val tokens = toks(text)
+  def langId(text: Column): Column = langIdOver(toks(text))
+
+  /** langId over a PRE-TOKENIZED column — the seam Curation.funnel
+    * uses to tokenize once per row (inlining a tokenizer copy into
+    * every feature blows the generated method past the codegen limit
+    * and drops the whole projection to interpreted mode — measured
+    * 65 s vs ~5 s for one task over sf0.1).
+    */
+  private[graft] def langIdOver(tokens: Column): Column = {
     val order = Seq("en", "de", "fr", "es", "it")
     val scores = order.map(l => hits(tokens, l))
     val best = greatest(scores: _*)
@@ -89,9 +96,15 @@ object TextAnalysis {
     * construction is IDENTICAL, so q_quality_learned's bit-exact oracle
     * covers both uses.
     */
-  private[graft] def learnedFeatures(text: Column): (Column, Column, Column) = {
+  private[graft] def learnedFeatures(text: Column): (Column, Column, Column) =
+    learnedFeaturesOver(text, toks(text))
+
+  /** The same expressions over a PRE-TOKENIZED column (see langIdOver
+    * — codegen-size seam; the arithmetic is identical, so the
+    * q_quality_learned oracle covers both forms).
+    */
+  private[graft] def learnedFeaturesOver(text: Column, tokens: Column): (Column, Column, Column) = {
     val w = graft.ml.QualityModel.default
-    val tokens = toks(text)
     val nTok = size(tokens)
     val tris = triWindows(tokens)
     val f1 = least(nTok.cast("double"), lit(200.0)) / 200.0

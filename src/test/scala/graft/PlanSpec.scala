@@ -130,6 +130,12 @@ class PlanSpec extends SparkSuite {
     assert(pScans.count(_.contains("documents.parquet")) === 1, pScans.mkString("\n"))
   }
 
+  test("curation funnel: equi-joins only, no cartesian/NLJ") {
+    val p = plan(SparkEntry.queries("q_curation_funnel")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("cluster-collapse iteration: equi-join + hash agg, no cartesian") {
     import graft.operators.Dedup
     import spark.implicits._

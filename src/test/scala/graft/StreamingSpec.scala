@@ -146,6 +146,41 @@ class StreamingSpec extends SparkSuite {
     assert(total === raw) // 2x ingested, exactly-once out
   }
 
+  test("streamed curation ingest equals the batch-derived admitted set") {
+    import graft.operators.{Curation, TextAnalysis}
+    val sfDir = "/root/testdata/sf0.001"
+    val out = Streaming.curatedIngest(spark, sfDir)
+    // batch reference: gates -> anti-join vs standing fingerprints ->
+    // md5 dedup (min doc per fingerprint), same rules composed lazily
+    val docs = Curation.planted(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select($"doc_id", $"source", $"text"))
+    val (_, _, score) = TextAnalysis.learnedFeatures($"text")
+    val corpusFp = docs.filter($"doc_id" < 480)
+      .select(md5(to_binary(TextAnalysis.piiScrubbed($"text"), lit("utf-8")))
+        .as("scrub_md5")).distinct()
+    val admitted = docs
+      .filter($"doc_id" >= 480 || ($"doc_id" < 480 && $"doc_id" % 50 === 1))
+      .filter(TextAnalysis.langId($"text") === "en" && score > 0)
+      .withColumn("t_s", TextAnalysis.piiScrubbed($"text"))
+      .withColumn("scrub_md5", md5(to_binary($"t_s", lit("utf-8"))))
+      .withColumn("n_tokens", size(TextAnalysis.toks($"t_s")))
+      .join(corpusFp, Seq("scrub_md5"), "left_anti")
+      .groupBy($"scrub_md5")
+      .agg(min($"doc_id").as("doc_id"),
+        min_by($"source", $"doc_id").as("source"),
+        min($"n_tokens").as("n_tokens"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens".cast("long")).as("n_tokens"),
+        min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+    val a = out.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val b = admitted.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(a.toSeq === b.toSeq)
+    // every admitted doc is genuinely new: re-crawls (old ids) are out
+    assert(out.agg(min($"min_doc")).collect()(0).getLong(0) >= 480)
+  }
+
   test("stateful dedup drops a LATE duplicate arriving in a later batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
