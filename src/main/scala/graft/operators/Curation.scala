@@ -55,41 +55,45 @@ object Curation {
     funnelOver(spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("source"), col("text")))
 
-  def funnelOver(raw: DataFrame): DataFrame = {
-    // the pipeline's standard ingest repartition by hash(doc_id)
-    // (Pipeline.docsFor does the same): the heavy per-row projection
-    // below must parallelize regardless of the input file layout (the
-    // fixture table is ONE parquet partition — unsharded, one task
-    // would evaluate every regex for the whole corpus)
+  /** The annotated per-doc frame: every per-row curation signal (raw
+    * token count, both gate decisions, the PII-redacted text and its
+    * token count) over one scan subtree.
+    *
+    * TOKENIZE ONCE into a shared column: inlining a tokenizer copy
+    * into every feature (lang hits x5, quality f1-f5, n_raw) blows
+    * the generated projection past the codegen method limit and the
+    * whole row pipeline drops to interpreted mode — measured 65 s vs
+    * ~5 s for the same single-task work at sf0.1 (PlanSpec pins the
+    * generated method size). __toks is an expensive multi-use
+    * reference, so CollapseProject keeps the projections split
+    * instead of re-duplicating it. The ingest repartition by
+    * hash(doc_id) (Pipeline.docsFor's rule) parallelizes the heavy
+    * projection regardless of input file layout — the fixture table
+    * is ONE parquet partition.
+    */
+  private[graft] def annotated(raw: DataFrame): DataFrame = {
     val docs = planted(raw)
       .repartition(graft.Pipeline.ingestPartitions(raw.sparkSession),
         col("doc_id"))
-    // TOKENIZE ONCE into a shared column: inlining a tokenizer copy
-    // into every feature (lang hits x5, quality f1-f5, n_raw) blows
-    // the generated projection past the codegen method limit and the
-    // whole row pipeline drops to interpreted mode — measured 65 s vs
-    // ~5 s for the same single-task work at sf0.1. __toks is an
-    // expensive multi-use reference, so CollapseProject keeps the
-    // projections split instead of re-duplicating it.
     val toked = docs.withColumn("__toks", TextAnalysis.toks(col("text")))
     val (nTok, _, score) =
       TextAnalysis.learnedFeaturesOver(col("text"), col("__toks"))
-    // one annotated per-doc frame carries every per-row signal: raw
-    // token count, both gate decisions, the PII-redacted text and its
-    // token count — all codegen'd expressions over one scan subtree
+    toked.select(
+        col("doc_id"), col("source"), nTok.as("n_raw"),
+        (TextAnalysis.langIdOver(col("__toks")) === "en").as("lang_ok"),
+        (score > 0).as("qual_ok"),
+        TextAnalysis.piiScrubbed(col("text")).as("t_s"))
+      .withColumn("n_s", size(TextAnalysis.toks(col("t_s"))))
+  }
+
+  def funnelOver(raw: DataFrame): DataFrame = {
     // LAZY localCheckpoint: the funnel's count branches (head + the
     // span-scrub/dedup/pack tails) would otherwise re-evaluate this
     // regex-and-feature-heavy subtree ~16x (spanScrub alone scans its
     // windows input four times) — measured 93 s vs ~6 s at sf0.1. The
     // first action materializes it ONCE and every branch reuses it; at
     // 100 TB the same seam is a TableIO-committed annotated table.
-    val base = toked.select(
-        col("doc_id"), col("source"), nTok.as("n_raw"),
-        (TextAnalysis.langIdOver(col("__toks")) === "en").as("lang_ok"),
-        (score > 0).as("qual_ok"),
-        TextAnalysis.piiScrubbed(col("text")).as("t_s"))
-      .withColumn("n_s", size(TextAnalysis.toks(col("t_s"))))
-      .localCheckpoint(false)
+    val base = annotated(raw).localCheckpoint(false)
     val surv = base.filter(col("lang_ok") && col("qual_ok"))
     // span scrub over the SURVIVING corpus's redacted text: duplicate
     // window keys are computed within what the earlier gates kept

@@ -136,6 +136,25 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("curation annotated projection stays under the JIT method limit") {
+    // the shared-__toks seam is what keeps the combined gate projection
+    // inside whole-stage codegen: with a tokenizer copy inlined per
+    // feature the generated method blows past the JIT limit and the
+    // row pipeline silently drops to interpreted mode (65 s vs ~5 s
+    // for the same single-task work at sf0.1). 8000 bytes is HotSpot's
+    // -XX:-DontCompileHugeMethods threshold.
+    import org.apache.spark.sql.execution.debug._
+    val df = graft.operators.Curation.annotated(
+      spark.read.parquet(s"$sf/documents.parquet")
+        .select("doc_id", "source", "text"))
+    df.collect() // finalize the AQE plan so the codegen subtrees exist
+    val stats = df.queryExecution.debug.codegenToSeq()
+    assert(stats.nonEmpty)
+    stats.foreach { case (_, _, st) =>
+      assert(st.maxMethodCodeSize < 8000, s"generated method ${st.maxMethodCodeSize} bytes")
+    }
+  }
+
   test("cluster-collapse iteration: equi-join + hash agg, no cartesian") {
     import graft.operators.Dedup
     import spark.implicits._
