@@ -1009,6 +1009,30 @@ object SparkEntry {
                 min(doc_id) AS first_doc, max(doc_id) AS last_doc
          FROM c GROUP BY 1, 2, 3""",
     "q_curation_funnel" -> curationFunnelOracle,
+    // independent stopword-hit argmax re-derivation (graduated from a
+    // VALUES dump): left-priority tie-break en,de,fr,es,it; zero hits
+    // -> 'und' — exactly TextAnalysis.langId's fold
+    "q_langid" ->
+      """WITH tk AS (
+           SELECT doc_id, lang AS lang_meta,
+                  list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+           FROM documents),
+         h AS (
+           SELECT doc_id, lang_meta,
+                  len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','was','that','it','with'))) AS h_en,
+                  len(list_filter(toks, x -> x IN ('der','die','das','und','ist','von','mit','ein','nicht','auch'))) AS h_de,
+                  len(list_filter(toks, x -> x IN ('le','la','les','et','est','dans','pour','que','une','des'))) AS h_fr,
+                  len(list_filter(toks, x -> x IN ('el','los','las','es','en','por','que','una','con','para'))) AS h_es,
+                  len(list_filter(toks, x -> x IN ('il','gli','che','per','con','una','sono','della','questo','anche'))) AS h_it
+           FROM tk)
+         SELECT doc_id, lang_meta,
+                CASE WHEN greatest(h_en, h_de, h_fr, h_es, h_it) = 0 THEN 'und'
+                     WHEN h_en = greatest(h_en, h_de, h_fr, h_es, h_it) THEN 'en'
+                     WHEN h_de = greatest(h_en, h_de, h_fr, h_es, h_it) THEN 'de'
+                     WHEN h_fr = greatest(h_en, h_de, h_fr, h_es, h_it) THEN 'fr'
+                     WHEN h_es = greatest(h_en, h_de, h_fr, h_es, h_it) THEN 'es'
+                     ELSE 'it' END AS lang_pred
+         FROM h""",
     "q_span_dedup" -> spanScrubSql,
     // the committed-index form MUST be byte-equal to the inline scrub
     // — literally the same independent oracle derivation

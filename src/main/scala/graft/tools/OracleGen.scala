@@ -30,7 +30,9 @@ object OracleGen {
     "pipe_checkpoint", "pipe_conf_pctl", "pipe_eval", "pipe_frame_freq",
     "pipe_norm_date", "pipe_norm_quantity", "pipe_rejected", "pipe_sink",
     "pipe_span_invariant", "pipe_dedup_global", "pipe_stream", "q_pos_tag",
-    "q_langid", "q_rolling_fp", "q_sample_stratified", "q_hll_distinct",
+    // q_langid graduated to an INDEPENDENT DuckDB oracle (stopword-hit
+    // argmax is plain list SQL; round-4 advisor pattern)
+    "q_rolling_fp", "q_sample_stratified", "q_hll_distinct",
     "q_bpe_tokens", "q_pack_bpe", "q_contamination_bpe",
     "q_simhash", "q_minhash_buckets",
     // q_jaccard_verify graduated to an INDEPENDENT DuckDB oracle
