@@ -697,8 +697,20 @@ object SparkEntry {
 
   private def curationFunnelOracle: String =
     s"""$curationBaseSql,
-       bs AS (SELECT *, list_filter(regexp_split_to_array(lower(t_s), '[^a-z]+'), x -> x <> '') AS toks_s FROM base),
-       surv AS (SELECT doc_id, source, toks_s, len(toks_s) AS n_s FROM bs WHERE lang_ok AND qual_ok),
+       dt AS (SELECT doc_id, list_distinct(tris) AS dtris FROM ft),
+       bench AS (SELECT DISTINCT unnest(dtris) AS tri FROM dt WHERE doc_id < 25),
+       ex AS (SELECT doc_id, len(dtris) AS nt, unnest(dtris) AS tri FROM dt),
+       hit AS (SELECT e.doc_id, count(b.tri) AS n_overlap, any_value(e.nt) AS nt
+               FROM ex e LEFT JOIN bench b USING (tri) GROUP BY e.doc_id),
+       decon AS (SELECT dt.doc_id,
+                        (coalesce(hit.nt, 0) = 0 OR
+                         2 * coalesce(hit.n_overlap, 0) < coalesce(hit.nt, 0)) AS decon_ok
+                 FROM dt LEFT JOIN hit USING (doc_id)),
+       bs AS (SELECT base.*, decon.decon_ok,
+                     list_filter(regexp_split_to_array(lower(t_s), '[^a-z]+'), x -> x <> '') AS toks_s
+              FROM base JOIN decon USING (doc_id)),
+       surv AS (SELECT doc_id, source, toks_s, len(toks_s) AS n_s FROM bs
+                WHERE lang_ok AND qual_ok AND decon_ok),
        w AS (
          SELECT doc_id,
                 CASE WHEN len(toks_s) >= 8
@@ -736,17 +748,20 @@ object SparkEntry {
                 CAST(sum(CASE WHEN lang_ok THEN n_raw ELSE 0 END) AS BIGINT) AS t1,
                 CAST(sum(CASE WHEN lang_ok AND qual_ok THEN 1 ELSE 0 END) AS BIGINT) AS d2,
                 CAST(sum(CASE WHEN lang_ok AND qual_ok THEN n_raw ELSE 0 END) AS BIGINT) AS t2,
-                CAST(sum(CASE WHEN lang_ok AND qual_ok THEN len(toks_s) ELSE 0 END) AS BIGINT) AS t3
+                CAST(sum(CASE WHEN lang_ok AND qual_ok AND decon_ok THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+                CAST(sum(CASE WHEN lang_ok AND qual_ok AND decon_ok THEN n_raw ELSE 0 END) AS BIGINT) AS t3,
+                CAST(sum(CASE WHEN lang_ok AND qual_ok AND decon_ok THEN len(toks_s) ELSE 0 END) AS BIGINT) AS t4
          FROM bs)
        SELECT 0 AS ord, 'raw' AS stage, d0 AS n_docs, t0 AS n_tokens FROM head
        UNION ALL SELECT 1, 'lang_en', d1, t1 FROM head
        UNION ALL SELECT 2, 'quality', d2, t2 FROM head
-       UNION ALL SELECT 3, 'pii_scrubbed', d2, t3 FROM head
-       UNION ALL SELECT 4, 'span_scrubbed', (SELECT count(*) FROM clean),
+       UNION ALL SELECT 3, 'decontaminated', d3, t3 FROM head
+       UNION ALL SELECT 4, 'pii_scrubbed', d3, t4 FROM head
+       UNION ALL SELECT 5, 'span_scrubbed', (SELECT count(*) FROM clean),
                  (SELECT CAST(coalesce(sum(n_clean), 0) AS BIGINT) FROM clean)
-       UNION ALL SELECT 5, 'dedup', (SELECT count(*) FROM kept),
+       UNION ALL SELECT 6, 'dedup', (SELECT count(*) FROM kept),
                  (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM kept)
-       UNION ALL SELECT 6, 'packed', (SELECT count(*) FROM pk),
+       UNION ALL SELECT 7, 'packed', (SELECT count(*) FROM pk),
                  (SELECT CAST(coalesce(sum(st), 0) AS BIGINT) FROM pk)"""
 
   /** Independent re-derivation of the streamed curation ingest: the

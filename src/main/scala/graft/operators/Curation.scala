@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
   * story run as ONE composed Spark job over the documents table:
   *
   *   raw → language gate (langId == en) → learned quality gate
+  *       → benchmark decontamination (broadcast eval-shingle overlap)
   *       → PII scrub → span-level boilerplate scrub (duplicate keys
   *       computed WITHIN the surviving corpus) → exact dedup of the
   *       scrubbed text → greedy sequence packing
@@ -71,6 +72,11 @@ object Curation {
     * projection regardless of input file layout — the fixture table
     * is ONE parquet partition.
     */
+  /** Eval-set size for the decontamination gate (q_contamination's
+    * in-corpus rule: the first BenchN docs ARE the benchmark, so the
+    * gate provably drops them at overlap 1.0). */
+  val BenchN = 25
+
   private[graft] def annotated(raw: DataFrame): DataFrame = {
     val docs = planted(raw)
       .repartition(graft.Pipeline.ingestPartitions(raw.sparkSession),
@@ -78,12 +84,25 @@ object Curation {
     val toked = docs.withColumn("__toks", TextAnalysis.toks(col("text")))
     val (nTok, _, score) =
       TextAnalysis.learnedFeaturesOver(col("text"), col("__toks"))
-    toked.select(
+    val perRow = toked.select(
         col("doc_id"), col("source"), nTok.as("n_raw"),
         (TextAnalysis.langIdOver(col("__toks")) === "en").as("lang_ok"),
         (score > 0).as("qual_ok"),
         TextAnalysis.piiScrubbed(col("text")).as("t_s"))
       .withColumn("n_s", size(TextAnalysis.toks(col("t_s"))))
+    // DECONTAMINATION gate: per-doc distinct-trigram overlap against
+    // the broadcast eval-set shingles (contaminationOver — one corpus
+    // shingle pass, nothing quadratic). Integer-exact rule — a doc is
+    // clean iff 2*n_overlap < n_trigrams (no float rounding at the
+    // threshold, identical in DuckDB)
+    val decon = TextAnalysis.contaminationOver(
+        docs.select(col("doc_id"), array_distinct(
+          TextAnalysis.triWindows(TextAnalysis.toks(col("text")))).as("tris")),
+        BenchN)
+      .select(col("doc_id"),
+        (col("n_trigrams") === 0 ||
+          col("n_overlap") * 2 < col("n_trigrams")).as("decon_ok"))
+    perRow.join(decon, Seq("doc_id"))
   }
 
   def funnelOver(raw: DataFrame): DataFrame = {
@@ -94,7 +113,8 @@ object Curation {
     // first action materializes it ONCE and every branch reuses it; at
     // 100 TB the same seam is a TableIO-committed annotated table.
     val base = annotated(raw).localCheckpoint(false)
-    val surv = base.filter(col("lang_ok") && col("qual_ok"))
+    val surv = base.filter(
+      col("lang_ok") && col("qual_ok") && col("decon_ok"))
     // span scrub over the SURVIVING corpus's redacted text: duplicate
     // window keys are computed within what the earlier gates kept
     val scrub = SpanDedup.spanScrub(
@@ -114,20 +134,24 @@ object Curation {
       kept.select(col("doc_id"), col("source"), col("n_tokens")),
       Budget, Shards)
 
-    // stages 0-3 fold into ONE aggregate over the annotated frame
+    // stages 0-4 fold into ONE aggregate over the annotated frame
     // (conditional sums), exploded to funnel rows
+    val g2 = col("lang_ok") && col("qual_ok")
+    val g3 = g2 && col("decon_ok")
     val head = base.agg(
       count(lit(1)).as("d0"),
       coalesce(sum(col("n_raw").cast("long")), lit(0L)).as("t0"),
       coalesce(sum(when(col("lang_ok"), 1L).otherwise(0L)), lit(0L)).as("d1"),
       coalesce(sum(when(col("lang_ok"), col("n_raw").cast("long"))
         .otherwise(0L)), lit(0L)).as("t1"),
-      coalesce(sum(when(col("lang_ok") && col("qual_ok"), 1L)
-        .otherwise(0L)), lit(0L)).as("d2"),
-      coalesce(sum(when(col("lang_ok") && col("qual_ok"),
-        col("n_raw").cast("long")).otherwise(0L)), lit(0L)).as("t2"),
-      coalesce(sum(when(col("lang_ok") && col("qual_ok"),
-        col("n_s").cast("long")).otherwise(0L)), lit(0L)).as("t3"))
+      coalesce(sum(when(g2, 1L).otherwise(0L)), lit(0L)).as("d2"),
+      coalesce(sum(when(g2, col("n_raw").cast("long")).otherwise(0L)),
+        lit(0L)).as("t2"),
+      coalesce(sum(when(g3, 1L).otherwise(0L)), lit(0L)).as("d3"),
+      coalesce(sum(when(g3, col("n_raw").cast("long")).otherwise(0L)),
+        lit(0L)).as("t3"),
+      coalesce(sum(when(g3, col("n_s").cast("long")).otherwise(0L)),
+        lit(0L)).as("t4"))
     val headRows = head.select(explode(array(
         struct(lit(0).as("ord"), lit("raw").as("stage"),
           col("d0").cast("long").as("n_docs"), col("t0").as("n_tokens")),
@@ -135,8 +159,10 @@ object Curation {
           col("d1").as("n_docs"), col("t1").as("n_tokens")),
         struct(lit(2).as("ord"), lit("quality").as("stage"),
           col("d2").as("n_docs"), col("t2").as("n_tokens")),
-        struct(lit(3).as("ord"), lit("pii_scrubbed").as("stage"),
-          col("d2").as("n_docs"), col("t3").as("n_tokens")))).as("r"))
+        struct(lit(3).as("ord"), lit("decontaminated").as("stage"),
+          col("d3").as("n_docs"), col("t3").as("n_tokens")),
+        struct(lit(4).as("ord"), lit("pii_scrubbed").as("stage"),
+          col("d3").as("n_docs"), col("t4").as("n_tokens")))).as("r"))
       .select(col("r.ord"), col("r.stage"), col("r.n_docs"), col("r.n_tokens"))
 
     def tail(ord: Int, stage: String, df: DataFrame, tokens: Column) =
@@ -147,8 +173,8 @@ object Curation {
           col("n_tokens").cast("long").as("n_tokens"))
 
     headRows
-      .union(tail(4, "span_scrubbed", clean, col("n_clean")))
-      .union(tail(5, "dedup", kept, col("n_tokens")))
-      .union(tail(6, "packed", packs, col("sum_tokens")))
+      .union(tail(5, "span_scrubbed", clean, col("n_clean")))
+      .union(tail(6, "dedup", kept, col("n_tokens")))
+      .union(tail(7, "packed", packs, col("sum_tokens")))
   }
 }

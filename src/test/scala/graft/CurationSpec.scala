@@ -13,15 +13,18 @@ class CurationSpec extends SparkSuite {
 
   test("funnel stages are monotone; every stage fires at fixture scale") {
     val f = funnelMap
-    assert(f.size === 7)
+    assert(f.size === 8)
     assert(f("raw")._1 > 0)
     // gates only drop documents
     assert(f("raw")._1 >= f("lang_en")._1)
     assert(f("lang_en")._1 >= f("quality")._1)
-    assert(f("quality")._1 > 0, "quality gate killed the whole corpus")
+    assert(f("quality")._1 >= f("decontaminated")._1)
+    assert(f("decontaminated")._1 > 0, "gates killed the whole corpus")
+    // the in-corpus eval docs (overlap 1.0) are provably dropped
+    assert(f("decontaminated")._1 < f("quality")._1)
     // transforms keep the doc count
-    assert(f("pii_scrubbed")._1 === f("quality")._1)
-    assert(f("span_scrubbed")._1 === f("quality")._1)
+    assert(f("pii_scrubbed")._1 === f("decontaminated")._1)
+    assert(f("span_scrubbed")._1 === f("decontaminated")._1)
     // dedup only drops; packing conserves the kept tokens exactly
     assert(f("dedup")._1 <= f("span_scrubbed")._1)
     assert(f("packed")._2 === f("dedup")._2)
@@ -32,9 +35,9 @@ class CurationSpec extends SparkSuite {
   test("planted PII and boilerplate move the token counts") {
     val f = funnelMap
     // PII redaction shrinks token counts (user<id>@example.org -> email)
-    assert(f("pii_scrubbed")._2 < f("quality")._2)
-    // the planted passage duplicates across >= 2 survivors at 60 docs
-    // (doc_id 3, 28, 53), so the span stage provably removes tokens
+    assert(f("pii_scrubbed")._2 < f("decontaminated")._2)
+    // the planted passage still duplicates across >= 2 surviving docs,
+    // so the span stage provably removes tokens
     assert(f("span_scrubbed")._2 < f("pii_scrubbed")._2)
   }
 
