@@ -86,6 +86,14 @@ object Bpe {
     * Construct ONE per partition inside mapPartitions (the cache is not
     * thread-shared).
     */
+  /** Word-cache entry cap per Encoder (≈ a few MB of strings): real
+    * corpora have an open word space (typos, concatenations), so an
+    * unbounded per-task cache would grow with partition size; the
+    * Zipf head keeps the hit rate with a fixed bound. Capping only
+    * affects speed, never counts.
+    */
+  val MaxCacheEntries: Int = 1 << 20
+
   final class Encoder(merges: Seq[(String, String)]) extends Serializable {
     private val rank: Map[(String, String), Int] = merges.zipWithIndex.toMap
     private val cache = scala.collection.mutable.HashMap[String, Int]()
@@ -109,9 +117,15 @@ object Bpe {
       syms
     }
 
-    /** Token count of one word (cached). */
+    /** Token count of one word (cached up to MaxCacheEntries). */
     def countWord(word: String): Int =
-      cache.getOrElseUpdate(word, encodeWord(word).length)
+      cache.get(word) match {
+        case Some(n) => n
+        case None =>
+          val n = encodeWord(word).length
+          if (cache.size < MaxCacheEntries) cache.update(word, n)
+          n
+      }
 
     /** Token count of a text: lowercase [a-z]+ words (the corpus-wide
       * tokenizer every text op here uses), summed subword counts.
@@ -119,7 +133,7 @@ object Bpe {
     def countText(text: String): Int = {
       if (text == null) return 0
       var n = 0
-      text.toLowerCase.split("[^a-z]+").foreach(w => if (w.nonEmpty) n += countWord(w))
+      text.toLowerCase(java.util.Locale.ROOT).split("[^a-z]+").foreach(w => if (w.nonEmpty) n += countWord(w))
       n
     }
   }

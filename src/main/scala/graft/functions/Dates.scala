@@ -29,7 +29,7 @@ object Dates {
     (Lexicon.months ++ Seq("Sept\\.?") ++ monthAbbrs.map(_ + "\\.?")).mkString("|")
   // lookup order matters: position 1..12 full, 13..24 abbrev, 25 = sept
   private val monthArr: Column = typedlit(
-    Lexicon.months.map(_.toLowerCase) ++ monthAbbrs.map(_.toLowerCase) :+ "sept")
+    Lexicon.months.map(_.toLowerCase(java.util.Locale.ROOT)) ++ monthAbbrs.map(_.toLowerCase(java.util.Locale.ROOT)) :+ "sept")
 
   private def monthNum(tok: Column): Column = {
     val idx = array_position(monthArr,

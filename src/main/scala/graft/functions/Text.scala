@@ -26,7 +26,7 @@ object Text {
     * .(punct), NN.
     */
   def tag(word: String): Tok = {
-    val lw = word.toLowerCase
+    val lw = word.toLowerCase(java.util.Locale.ROOT)
     Lexicon.verbLexicon.get(lw) match {
       case Some((pos, lemma)) => Tok(word, pos, lemma)
       case None =>

@@ -40,11 +40,11 @@ object Features {
   def tokenFeatures(tokens: IndexedSeq[Tok], i: Int, lu: String,
                     gazEtype: String => Option[String]): Array[Int] = {
     val n = tokens.length
-    def word(j: Int): String = if (j < 0 || j >= n) "<pad>" else tokens(j).word.toLowerCase
+    def word(j: Int): String = if (j < 0 || j >= n) "<pad>" else tokens(j).word.toLowerCase(java.util.Locale.ROOT)
     def pos(j: Int): String = if (j < 0 || j >= n) "<pad>" else tokens(j).pos
     def gaz(j: Int): String =
       if (j < 0 || j >= n) "_"
-      else gazEtype(tokens(j).word.toLowerCase).orElse(gazEtype(tokens(j).lemma)).getOrElse("_")
+      else gazEtype(tokens(j).word.toLowerCase(java.util.Locale.ROOT)).orElse(gazEtype(tokens(j).lemma)).getOrElse("_")
     def c(j: Int): String = if (j < 0 || j >= n) "<pad>" else cls(pos(j), gaz(j) != "_")
     val fs = Array.newBuilder[Int]
     fs += hash("b") // bias

@@ -27,14 +27,20 @@ object QualityModel {
   val StopSet: Set[String] = Set("the", "a", "of", "and", "in")
 
   def features(text: String): Array[Double] = {
-    val toks = text.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split("[^a-z]+").filter(_.nonEmpty)
     val n = toks.length
     val tris =
       if (n >= 3) toks.sliding(3).map(_.mkString(" ")).toArray
       else Array.empty[String]
+    // code-POINT denominator: Spark's length() and DuckDB's length()
+    // count code points, String.length counts UTF-16 units — they
+    // diverge on astral chars, and this function must mirror the
+    // Catalyst f6 exactly (the ASCII-letter numerator is unit-safe:
+    // no surrogate half is in A-Za-z)
     val alpha =
       if (text.isEmpty) 0.0
-      else text.count(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')).toDouble / text.length
+      else text.count(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')).toDouble /
+        text.codePointCount(0, text.length)
     Array(
       1.0,
       math.min(n, 200).toDouble / 200.0,
@@ -68,7 +74,7 @@ object QualityModel {
       val doc = graft.fixtures.BioGen.generate(s"qtrain$i", "")._1
       val clean = doc.spans.filter(sp => sp.kind == "text" && sp.text != null)
         .map(_.text).mkString(" ")
-      val toks = clean.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+      val toks = clean.toLowerCase(java.util.Locale.ROOT).split("[^a-z]+").filter(_.nonEmpty)
       Seq(
         clean,                                               // good
         Array.fill(15)(toks.take(10)).flatten.mkString(" "), // repetition loop

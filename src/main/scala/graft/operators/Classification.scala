@@ -41,7 +41,7 @@ object Classification {
       // chunks get the gazetteer's entity type (unknown -> dropped)
       val typed: Seq[(String, String)] = raw.flatMap { c => // (etypeOr"date", text)
         if (c.cls == "date") Some(("date", c.text))
-        else gazEtype.get(c.text.toLowerCase).map(t => (t, c.text))
+        else gazEtype.get(c.text.toLowerCase(java.util.Locale.ROOT)).map(t => (t, c.text))
       }
       val subjIdx = typed.indexWhere(_._1 == "person")
       if (subjIdx < 0) return (None, Seq("no_subject"))

@@ -46,11 +46,9 @@ object Curation {
     * identically. Keeps (doc_id, source, text).
     */
   def planted(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("source"),
-      concat(TextAnalysis.piiPlanted(col("doc_id"), col("text")),
-        when(col("doc_id") % 25 === 3, lit(" " + SpanDedup.Passage))
-          .otherwise(lit("")))
-        .as("text"))
+    SpanDedup.withPlantedPassages(
+      docs.select(col("doc_id"), col("source"),
+        TextAnalysis.piiPlanted(col("doc_id"), col("text")).as("text")))
 
   def funnel(spark: SparkSession, sfDir: String): DataFrame =
     funnelOver(spark.read.parquet(s"$sfDir/documents.parquet")

@@ -41,7 +41,7 @@ object Dedup {
 
   /** 3-token shingle hashes of a text. */
   def shingles(text: String): Array[Long] = {
-    val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty)
     if (toks.length < 3) Array(Det.hashStr(toks.mkString(" ")))
     else toks.sliding(3).map(w => Det.hashStr(w.mkString(" "))).toArray
   }
@@ -77,7 +77,7 @@ object Dedup {
 
   /** 64-bit SimHash over token hashes. */
   def simhash(text: String): Long = {
-    val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty)
     val acc = new Array[Int](64)
     toks.foreach { t =>
       val h = Det.hashStr(t)

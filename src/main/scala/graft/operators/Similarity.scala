@@ -192,8 +192,12 @@ object Similarity {
       // sorted by cell id: downstream positional indices must be stable
       cents = rows.groupBy(_.getInt(0)).toArray.map { case (cell, rs) =>
         val v = new Array[Double](dim)
+        // positions beyond `dim` are ignored (the pre-melt per-column
+        // form truncated identically; unguarded, a vec longer than
+        // `dim` would crash the driver mid-build)
         rs.foreach { r =>
-          v(r.getInt(1)) = r.getLong(3) / 1e9 / r.getLong(2).toDouble
+          if (r.getInt(1) < dim)
+            v(r.getInt(1)) = r.getLong(3) / 1e9 / r.getLong(2).toDouble
         }
         (cell, v)
       }.sortBy(_._1)
@@ -341,6 +345,10 @@ object Similarity {
       // are order-independent so the calibration arrays are identical
       val byPos = perDimMinMax(loadEmb(spark, sfDir)).collect()
         .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      // loud failure beats a KeyError deep in the encode path when
+      // `dim` exceeds the corpus vectors' actual width
+      require(byPos.keySet == (0 until dim).toSet,
+        s"quantStats dim=$dim but corpus has positions ${byPos.keySet.toSeq.sorted.take(5)}..${byPos.keySet.max}")
       ((0 until dim).map(j => byPos(j)._1), (0 until dim).map(j => byPos(j)._2))
     })
 

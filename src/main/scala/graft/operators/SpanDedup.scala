@@ -54,8 +54,11 @@ object SpanDedup {
   /** Minimum shared duplicated windows for a pair to surface. */
   val MinShared = 3
 
-  private def toks(text: Column): Column =
-    filter(split(lower(text), "[^a-z]+"), t => t =!= "")
+  /** THE tokenizer — TextAnalysis.toks, not a local copy: the
+    * Curation funnel subtracts counts across the two operators
+    * (n_clean = n_s − n_covered), so they must share one definition.
+    */
+  private def toks(text: Column): Column = TextAnalysis.toks(text)
 
   /** A fixed boilerplate passage planted on doc_id % 25 == 3 (pure
     * Catalyst concat over the read-only testdata — same pattern as
@@ -67,10 +70,11 @@ object SpanDedup {
     "this work is licensed under the creative commons attribution share alike license"
 
   def withPlantedPassages(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    // withColumn, not select: other columns (source, ...) pass
+    // through, so Curation.planted can compose this exact rule
+    docs.withColumn("text",
       concat(col("text"),
-        when(col("doc_id") % 25 === 3, lit(" " + Passage)).otherwise(lit("")))
-        .as("text"))
+        when(col("doc_id") % 25 === 3, lit(" " + Passage)).otherwise(lit(""))))
 
   /** (doc_id, start, ngram, h) — every W-token window, start 1-based.
     * One scan, one explode; h = xxhash64(ngram) is the join/shuffle key

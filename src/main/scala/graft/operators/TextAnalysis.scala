@@ -240,7 +240,7 @@ object TextAnalysis {
         it.map { case (id, t) =>
           val pieces: Array[String] =
             if (t == null) Array.empty
-            else t.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+            else t.toLowerCase(java.util.Locale.ROOT).split("[^a-z]+").filter(_.nonEmpty)
               .flatMap(enc.encodeWord)
           val tris =
             if (pieces.length < BpeShingleW) Array.empty[String]
@@ -407,7 +407,7 @@ object TextAnalysis {
         it.map { case (id, src, t) =>
           val nWords =
             if (t == null) 0
-            else t.toLowerCase.split("[^a-z]+").count(_.nonEmpty)
+            else t.toLowerCase(java.util.Locale.ROOT).split("[^a-z]+").count(_.nonEmpty)
           (id, src, nWords, enc.countText(t))
         }
       }

@@ -251,10 +251,17 @@ object Streaming {
     *     side is computed once batch-side and joined per micro-batch —
     *     at 100 TB this is the committed fingerprint table of
     *     Dedup.writeIndex's family, broadcast or bucket-joined);
-    *   - cross-batch `dropDuplicates(scrub_md5)` collapses the
-    *     double-fed arrivals (state is bounded by the increment under
-    *     AvailableNow; an unbounded feed would add an ingest-time
-    *     watermark to this key, the pipe_stream_dedup pattern);
+    *   - cross-batch `dropDuplicates(doc_id)` collapses the double-fed
+    *     arrivals — the re-delivered-file/retry case, and since rows
+    *     with one doc_id are IDENTICAL the surviving row is
+    *     arrival-order-independent (state is bounded by the increment
+    *     under AvailableNow; an unbounded feed would add an
+    *     ingest-time watermark to this key, the pipe_stream_dedup
+    *     pattern). Content-level (scrub_md5) dedup happens at
+    *     read-back with a min(doc_id) winner instead: an in-flight
+    *     `dropDuplicates(scrub_md5)` would keep whichever of two
+    *     DISTINCT same-fingerprint docs arrived first — a
+    *     nondeterministic admitted set the oracle could never pin;
     *   - the idempotent batchId-keyed foreachBatch sink makes retries
     *     exactly-once.
     *
@@ -268,7 +275,14 @@ object Streaming {
     val out = curationRunCache.computeIfAbsent(
       (System.identityHashCode(spark), sfDir),
       _ => runCuratedIngest(spark, sfDir))
+    // content-level dedup with a DETERMINISTIC min(doc_id) winner
+    // (identical clean text implies identical n_tokens), then the
+    // per-source ingest report
     spark.read.parquet(out).drop("batch")
+      .groupBy(col("scrub_md5"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min_by(col("source"), col("doc_id")).as("source"),
+        min(col("n_tokens")).as("n_tokens"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens").cast("long")).as("n_tokens"),
@@ -315,7 +329,7 @@ object Streaming {
       .withColumn("n_tokens",
         size(graft.operators.TextAnalysis.toks(col("t_s"))))
       .join(corpusFp, Seq("scrub_md5"), "left_anti")
-      .dropDuplicates("scrub_md5")
+      .dropDuplicates("doc_id")
       .select(col("doc_id"), col("source"), col("scrub_md5"), col("n_tokens"))
       .writeStream
       .option("checkpointLocation", ckpt)
