@@ -97,6 +97,81 @@ class PropertySpec extends SparkSuite {
     }, cases = 8) // each case runs the iterative collapse (several jobs)
   }
 
+  test("span scrub: identical docs fully cover, unique docs untouched (arbitrary texts)") {
+    import graft.operators.SpanDedup
+    val genWords = Gen.listOfN(12, Gen.oneOf(
+      "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+      "hotel", "india", "juliet", "kilo", "lima", "mike", "november"))
+    // batch: k random 12-token texts; docs 2i/2i+1 share text (dup
+    // pair), plus k unique salted singletons
+    val gen = Gen.listOfN(6, genWords)
+    check(Prop.forAll(gen) { texts =>
+      val rows =
+        texts.zipWithIndex.flatMap { case (ws, i) =>
+          val t = ws.mkString(" ")
+          Seq((i * 10L, t), (i * 10L + 1, t)) // identical pair
+        } ++ texts.zipWithIndex.map { case (ws, i) =>
+          // unique: salt with a doc-specific token so no cross-doc window
+          (1000L + i, (s"zq$i" +: ws.take(4)).mkString(" "))
+        }
+      val out = SpanDedup.spanScrub(rows.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> r).toMap
+      val md5empty = java.security.MessageDigest.getInstance("MD5")
+        .digest("".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val pairsFullyCovered = texts.indices.forall { i =>
+        val a = out(i * 10L); val b = out(i * 10L + 1)
+        // 12 tokens, W=8 -> 5 windows, all shared -> every position covered
+        a.getInt(3) === 12 && b.getInt(3) === 12 &&
+          a.getString(4) == md5empty && b.getString(4) == md5empty
+      }
+      // singletons are < W + unique-prefixed: zero dup windows
+      val singletonsClean = texts.indices.forall(i => out(1000L + i).getInt(2) === 0)
+      pairsFullyCovered && singletonsClean
+    }, cases = 3)
+  }
+
+  test("BPE counts: >= 1 token per word, cache-capped == uncached, encoder-independent") {
+    import graft.functions.Bpe
+    val genWord = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(12))
+    check(Prop.forAll(Gen.listOfN(20, genWord)) { words =>
+      val e1 = new Bpe.Encoder(Bpe.defaultMerges)
+      val e2 = new Bpe.Encoder(Bpe.defaultMerges)
+      val text = words.mkString(" ")
+      words.forall(w => e1.countWord(w) >= 1 && e1.countWord(w) == e1.encodeWord(w).length) &&
+        e1.countText(text) == e2.countText(text) &&
+        e1.countText(text) == words.map(e2.countWord).sum
+    }, cases = 20)
+  }
+
+  test("greedy packing conserves tokens and docs for arbitrary corpora") {
+    import graft.operators.TextAnalysis
+    // n in [1, 400] < budget: contiguity-from-0 only holds when no
+    // single doc spans a whole budget (a 600-token doc at cum=600
+    // legitimately lands in pack 1 with pack 0 skipped), and a
+    // LEADING zero-token doc would land at floor(-1/512) = pack -1
+    // on both engines
+    val genRow = for {
+      id <- Gen.chooseNum(0L, 5000L)
+      src <- Gen.oneOf("a", "b", "c")
+      n <- Gen.chooseNum(1, 400)
+    } yield (id, src, n)
+    check(Prop.forAll(Gen.listOfN(60, genRow)) { rows0 =>
+      val rows = rows0.distinctBy(_._1) // doc_id unique
+      val df = rows.toDF("doc_id", "source", "n_tokens")
+      val packs = TextAnalysis.packGreedyOver(df, 512, 8).collect()
+      val tokensConserved =
+        packs.map(_.getLong(4)).sum == rows.map(_._3.toLong).sum
+      val docsConserved = packs.map(_.getLong(3)).sum == rows.size.toLong
+      // within each (source, shard), pack ids are contiguous from 0
+      val contiguous = packs.groupBy(r => (r.getString(0), r.getLong(1)))
+        .forall { case (_, ps) =>
+          val ids = ps.map(_.getLong(2)).sorted
+          ids.head == 0L && ids.zip(ids.tail).forall { case (a, b) => b == a + 1 }
+        }
+      tokensConserved && docsConserved && contiguous
+    }, cases = 5)
+  }
+
   test("salted join == plain join for arbitrary salt and skew") {
     val genData = for {
       salt <- Gen.chooseNum(1, 8)
