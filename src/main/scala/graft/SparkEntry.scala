@@ -490,6 +490,13 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs_checked"),
           sum(when(!col("sig_ok"), 1L).otherwise(0L)).as("n_violations"))
     }),
+    // curation over the INTERLEAVED spans table (both graft axes in
+    // one op): gates score the concatenated text spans, survivors
+    // keep the full span sequence — spans_sig in the output is the
+    // BASELINE span invariant; VALUES oracle (the spans table is
+    // Spark-synthesized), sig equality spec-pinned in CurationSpec
+    "pipe_curate_spans" -> ((s, dir) =>
+      Curation.curateSpans(Corpus.spansTable(s, dir))),
     "pipe_checkpoint" -> ((s, dir) =>
       Checkpoint.stageMetrics(Pipeline.triples(s, dir), "verify", "triples", 16, 0L)),
     // sink_triples (SURVEY §2.1): flagship triples written through the

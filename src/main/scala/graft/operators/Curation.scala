@@ -103,6 +103,38 @@ object Curation {
     perRow.join(decon, Seq("doc_id"))
   }
 
+  /** CURATION OVER THE INTERLEAVED SPANS TABLE — the two graft axes
+    * composed: the language and learned-quality gates score the
+    * document's concatenated TEXT spans (offset order), and a
+    * surviving document keeps its FULL span sequence untouched —
+    * media refs, ordering, everything; `spans_sig` carries the
+    * BASELINE.json span-sequence invariant so any later stage that
+    * drops or reorders a span is caught. Per surviving doc:
+    * (doc_id, n_spans, n_media, n_text_tokens, spans_sig).
+    * Gates are the EXACT funnel rules (shared expressions), so the
+    * flat-documents funnel certifies the same arithmetic this path
+    * runs; CurationSpec pins sig equality vs the input table.
+    */
+  def curateSpans(docs: org.apache.spark.sql.Dataset[graft.model.Doc]): DataFrame = {
+    val ordered = array_sort(col("spans"),
+      (l, r) => l.getField("offset") - r.getField("offset"))
+    val flat = docs.toDF().select(col("doc_id"), col("spans"),
+      concat_ws(" ", transform(
+        filter(ordered, s => s.getField("kind") === "text"),
+        s => s.getField("text"))).as("text"))
+    val toked = flat.withColumn("__toks", TextAnalysis.toks(col("text")))
+    val (nTok, _, score) =
+      TextAnalysis.learnedFeaturesOver(col("text"), col("__toks"))
+    toked
+      .filter(TextAnalysis.langIdOver(col("__toks")) === "en" && score > 0)
+      .select(col("doc_id"),
+        size(col("spans")).as("n_spans"),
+        size(filter(col("spans"),
+          s => s.getField("kind") === "media")).as("n_media"),
+        nTok.as("n_text_tokens"),
+        graft.functions.SpanFns.spansSig(col("spans")).as("spans_sig"))
+  }
+
   def funnelOver(raw: DataFrame): DataFrame = {
     // LAZY localCheckpoint: the funnel's count branches (head + the
     // span-scrub/dedup/pack tails) would otherwise re-evaluate this

@@ -29,7 +29,7 @@ object OracleGen {
     "pipe_link", "pipe_link_salted", "pipe_triples", "pipe_triples_learned", "pipe_qs",
     "pipe_checkpoint", "pipe_conf_pctl", "pipe_eval", "pipe_frame_freq",
     "pipe_norm_date", "pipe_norm_quantity", "pipe_rejected", "pipe_sink",
-    "pipe_span_invariant", "pipe_dedup_global", "pipe_stream", "q_pos_tag",
+    "pipe_span_invariant", "pipe_curate_spans", "pipe_dedup_global", "pipe_stream", "q_pos_tag",
     // q_langid graduated to an INDEPENDENT DuckDB oracle (stopword-hit
     // argmax is plain list SQL; round-4 advisor pattern)
     "q_rolling_fp", "q_sample_stratified", "q_hll_distinct",

@@ -7,6 +7,8 @@ import graft.operators.Curation
   * independent end-to-end DuckDB oracle (q_curation_funnel).
   */
 class CurationSpec extends SparkSuite {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
 
   private def funnelMap = Curation.funnel(spark, "/root/testdata/sf0.001")
     .collect().map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
@@ -39,6 +41,29 @@ class CurationSpec extends SparkSuite {
     // the planted passage still duplicates across >= 2 surviving docs,
     // so the span stage provably removes tokens
     assert(f("span_scrubbed")._2 < f("pii_scrubbed")._2)
+  }
+
+  test("curateSpans preserves every survivor's span sequence and admits only gate-passers") {
+    import graft.functions.SpanFns
+    import graft.sources.Corpus
+    val docs = Corpus.spansTable(spark, "/root/testdata/sf0.001")
+    val out = Curation.curateSpans(docs)
+    // survivors exist and media spans flow through
+    assert(out.count() > 0)
+    assert(out.agg(sum($"n_media")).collect()(0).getLong(0) > 0)
+    // the carried spans_sig equals the INPUT table's sig for every
+    // surviving doc — no span dropped, reordered, or rewritten
+    val inSig = docs.toDF()
+      .select($"doc_id", SpanFns.spansSig($"spans").as("in_sig"))
+    val joined = out.join(inSig, Seq("doc_id"))
+    assert(joined.count() === out.count(), "survivor not in the input table")
+    assert(joined.filter($"spans_sig" =!= $"in_sig").count() === 0L)
+    // deterministic across layouts
+    val b = Curation.curateSpans(
+      Corpus.spansTable(spark, "/root/testdata/sf0.001").repartition(7))
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val a = out.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(a.toSeq === b.toSeq)
   }
 
   test("funnel is identical across partition layouts") {
