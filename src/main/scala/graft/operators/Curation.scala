@@ -76,10 +76,15 @@ object Curation {
   val BenchN = 25
 
   private[graft] def annotated(raw: DataFrame): DataFrame = {
-    val docs = planted(raw)
+    // LAZY localCheckpoint on the tokenized frame: the per-row gate
+    // projection and the decontamination aggregate are separate
+    // subtrees of the join below — uncheckpointed, each would re-scan,
+    // re-plant, re-shuffle, and re-tokenize the whole corpus
+    val toked = planted(raw)
       .repartition(graft.Pipeline.ingestPartitions(raw.sparkSession),
         col("doc_id"))
-    val toked = docs.withColumn("__toks", TextAnalysis.toks(col("text")))
+      .withColumn("__toks", TextAnalysis.toks(col("text")))
+      .localCheckpoint(false)
     val (nTok, _, score) =
       TextAnalysis.learnedFeaturesOver(col("text"), col("__toks"))
     val perRow = toked.select(
@@ -94,8 +99,8 @@ object Curation {
     // clean iff 2*n_overlap < n_trigrams (no float rounding at the
     // threshold, identical in DuckDB)
     val decon = TextAnalysis.contaminationOver(
-        docs.select(col("doc_id"), array_distinct(
-          TextAnalysis.triWindows(TextAnalysis.toks(col("text")))).as("tris")),
+        toked.select(col("doc_id"), array_distinct(
+          TextAnalysis.triWindows(col("__toks"))).as("tris")),
         BenchN)
       .select(col("doc_id"),
         (col("n_trigrams") === 0 ||
