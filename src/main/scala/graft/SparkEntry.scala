@@ -81,11 +81,15 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- aggregations / ranking (SURVEY §2.3) ----
-    "q_tf" -> ((s, dir) => Ranking.tf(Ranking.terms(s, dir))),
-    "q_df_idf" -> ((s, dir) => Ranking.dfIdf(Ranking.terms(s, dir), docsN(s, dir))),
-    "q_tfidf_stats" -> ((s, dir) => Ranking.tfidfStats(Ranking.terms(s, dir), docsN(s, dir))),
-    "q_popularity" -> ((s, dir) => Ranking.popularity(Ranking.terms(s, dir), docsN(s, dir))),
-    "q_lu_rank" -> ((s, dir) => Ranking.luRank(Ranking.terms(s, dir), docsN(s, dir), 50)),
+    // round 6: the whole ranking family runs over the SHUFFLE-FREE
+    // per-document tf (Ranking.tfFromDocs — sort + run-length encode
+    // inside the row, guide §2.4); rows/values are identical to the
+    // exploded groupBy form (same tokenizer, exact integer counts)
+    "q_tf" -> ((s, dir) => Ranking.tfFromDocs(s, dir)),
+    "q_df_idf" -> ((s, dir) => Ranking.dfIdfOverTf(Ranking.tfFromDocs(s, dir), docsN(s, dir))),
+    "q_tfidf_stats" -> ((s, dir) => Ranking.tfidfStatsOverTf(Ranking.tfFromDocs(s, dir), docsN(s, dir))),
+    "q_popularity" -> ((s, dir) => Ranking.popularityOverTf(Ranking.tfFromDocs(s, dir), docsN(s, dir))),
+    "q_lu_rank" -> ((s, dir) => Ranking.luRankOverTf(Ranking.tfFromDocs(s, dir), docsN(s, dir), 50)),
     "q_lu_distribution" -> ((s, dir) => Ranking.distribution(s, dir)),
     // full CUBE over (lang, source) — the remaining grouping-sets shape
     // next to q_lu_distribution's ROLLUP

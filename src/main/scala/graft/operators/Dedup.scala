@@ -152,16 +152,22 @@ object Dedup {
   def bandedSigs(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // ONE typed row per doc (sig + per-band bucket array), fanned to
+    // (band, bucket) rows by a Catalyst posexplode: the old flatMap
+    // emitted 8 Scala tuples per doc, each re-boxing the 32-long
+    // signature through the encoder — 8× the row-encoding work for
+    // identical output rows (band is the posexplode ordinal).
     docs.select($"doc_id".cast("string").as("doc_id"), $"text")
       .as[(String, String)]
-      .flatMap { case (id, text) =>
+      .map { case (id, text) =>
         val sig = minhash(if (text == null) "" else text)
-        (0 until Bands).map { b =>
-          val slice = sig.slice(b * Rows, (b + 1) * Rows)
-          (id, sig.toSeq, b, Det.mix(slice.toIndexedSeq: _*))
-        }
+        val buckets = Array.tabulate(Bands)(b =>
+          Det.mix(sig.slice(b * Rows, (b + 1) * Rows).toIndexedSeq: _*))
+        (id, sig, buckets)
       }
-      .toDF("doc_id", "sig", "band", "bucket")
+      .toDF("doc_id", "sig", "__buckets")
+      .select(col("doc_id"), col("sig"),
+        posexplode(col("__buckets")).as(Seq("band", "bucket")))
   }
 
   private def estJaccard: Column =
@@ -392,10 +398,15 @@ object Dedup {
           (TableIO.read(spark, t).localCheckpoint(), round + 1)
         }
       var it = resumed.map(_._2).getOrElse(0)
+      // LAZY initial checkpoint (round 6): the fresh-start label table
+      // needs no eager job of its own — round 1's convergence probe is
+      // the first materializing action and pins the blocks then. Only
+      // the RESUME path must stay eager (its lazy read would dangle
+      // once the caller deletes the scratch state dir).
       var labels = resumed.map(_._1).getOrElse(
         edges.select(col("src").as("node")).distinct()
           .withColumn("label", col("node"))
-          .localCheckpoint())
+          .localCheckpoint(eager = false))
       // labels are MIN-MONOTONE per node, so the label total strictly
       // decreases until the fixpoint: an unchanged total IS convergence.
       // One partial aggregate over the cached round — no per-round
@@ -418,14 +429,23 @@ object Dedup {
       }
       def labelSum(df: DataFrame): java.math.BigDecimal =
         df.agg(sum(col("label").cast("decimal(38,0)"))).first().getDecimal(0)
-      var prevSum = if (numericIds) labelSum(labels) else null
+      // prevSum starts UNKNOWN (null): the old initial labelSum ran a
+      // whole extra job before round 1 only to seed the comparison —
+      // letting round 1 never declare convergence costs at most one
+      // cheap extra round in the already-converged-resume corner case
+      // and saves one action from every normal run (round 6).
+      var prevSum: java.math.BigDecimal = null
       var converged = false
       while (!converged && it < maxIter) {
         // LAZY checkpoint: the convergence probe below is the round's
         // one materializing action (an eager checkpoint ran a second
         // job per round just to then re-scan the blocks for the sum);
         // the jump's self-join computes the (tiny) propagate subtree
-        // once per side — cheaper than an intermediate checkpoint
+        // once per side — cheaper than an intermediate checkpoint.
+        // (Round-6 note: a DOUBLE pointer jump per round was tried and
+        // measured SLOWER at sf0.1 — the fixture graph converges in 2-3
+        // rounds, so the extra self-join per round cost more than the
+        // rounds it could save. Kept single.)
         val next = pointerJump(propagateMinLabel(edges, labels))
           .localCheckpoint(eager = false)
         if (numericIds) {
@@ -451,6 +471,9 @@ object Dedup {
         }
         it += 1
       }
+      // optimization-round diagnostics only (off unless the env is set)
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] converged=$converged after $it rounds")
       val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
       labels.join(sizes, Seq("label"))
         .select(col("node").as("doc_id"), col("label").as("cluster_rep"),

@@ -61,7 +61,15 @@ object Serialize {
     // group to one row before the exchange, so the shuffle is narrow.
     // The ordering key is unique per group (distinct qids), so ties
     // cannot occur.
+    // ONE exchange for the best-link agg AND the subject window (round
+    // 6, guide §2.4): hash partitioning by (doc_id, sentence_offset)
+    // satisfies the aggregation's (doc_id, sentence_offset, fe)
+    // clustering (subset rule) and the window's partition spec, so the
+    // explicit repartition replaces BOTH the agg's ENSURE_REQUIREMENTS
+    // exchange on the 3-column key and the window's re-shuffle on the
+    // 2-column key that followed it.
     val best = joined
+      .repartition($"doc_id", $"sentence_offset")
       .groupBy($"doc_id", $"sentence_offset", $"fe")
       .agg(min_by(
         struct($"qid", $"chunk_text", $"fe_type", $"frame", $"lu",

@@ -135,48 +135,90 @@ object SpanDedup {
       .select(col("doc_id"), col("start").cast("int").as("start"),
         col("ngram"), col("h"))
 
+  /** (doc_id, start, h) window keys WITHOUT materializing the window
+    * strings (round 6, scrub path only): each token is xxhash64'd once
+    * into __th (its own projection — Catalyst has no CSE inside lambda
+    * bodies, an inlined reference would re-hash the whole doc per
+    * window), then each window key is xxhash64 over its w consecutive
+    * token hashes. Token sequences map 1:1 to the old ngram strings
+    * (tokens never contain the join character), so the h-equality
+    * classes are identical up to 64-bit collisions — the same guarantee
+    * the string hash gave, at none of the per-window slice+concat
+    * allocation. The committed-index path keeps `windows` (the table
+    * stores the ngram strings; its h stays xxhash64(ngram)).
+    */
+  private[operators] def windowKeys(docs: DataFrame, w: Int = W): DataFrame = {
+    val winHashes = when(size(col("__th")) >= w,
+        transform(sequence(lit(1), size(col("__th")) - (w - 1)), s =>
+          xxhash64((0 until w).map(k => element_at(col("__th"), s + k)): _*)))
+      .otherwise(array().cast("array<bigint>"))
+    docs.withColumn("__toks", toks(col("text")))
+      .withColumn("__th", transform(col("__toks"), t => xxhash64(t)))
+      .select(col("doc_id"), posexplode(winHashes).as(Seq("__p", "h")))
+      .select(col("doc_id"), (col("__p") + 1).as("start"), col("h"))
+  }
+
   /** Per-doc duplicate-passage metrics + the scrubbed text: tokens at
     * positions covered by ANY duplicated window are removed; clean_md5
     * pins byte equality of the rebuilt text. Output:
     * (doc_id, n_windows, n_dup_windows, n_covered, clean_md5).
     *
-    * Inline form — extracts windows as a subplan (twice; see
-    * `writeWindows`). `spanScrubOver` is the committed-index form.
+    * Inline form — window keys come from the string-free `windowKeys`
+    * pass. `spanScrubOver` is the committed-index form.
     */
   def spanScrub(docs: DataFrame, w: Int = W): DataFrame =
-    spanScrubOver(docs, windows(docs, w), w)
+    spanScrubOver(docs, windowKeys(docs, w), w)
 
   /** The scrub over an explicit windows frame — pass `readWindows` of a
     * committed table and the corpus text is scanned exactly once (the
     * rebuild); the two window-side stages scan the index table.
     */
   def spanScrubOver(docs: DataFrame, wins: DataFrame, w: Int = W): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // early projection: the scrub path needs only (doc_id, start, h) —
-    // the window strings stay out of this shuffle entirely
+    // the window strings stay out of this shuffle entirely.
+    // Duplicate-window rows in ONE pass: a collect_set count over the
+    // hash partition replaces the old groupBy(h) + left_semi join pair,
+    // which evaluated the windows subtree TWICE and shuffled it by h
+    // twice (guide §2.4 — two operations keyed the same way share one
+    // exchange). Same row set: a window row survives iff its h occurs
+    // in ≥2 distinct docs.
+    val byH = Window.partitionBy(col("h"))
     val dup = wins.select(col("doc_id"), col("start"), col("h"))
-      .join(dupWindowKeys(wins), Seq("h"), "left_semi")
+      .withColumn("__nd", size(collect_set(col("doc_id")).over(byH)))
+      .filter(col("__nd") >= 2)
       .select(col("doc_id"), col("start"))
-    val dupAgg = dup.groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("int").as("n_dup_windows"))
-    val covAgg = dup
+    // ONE per-doc aggregation carries the window count AND the covered-
+    // position set (was: two aggregations plus a distinct's extra
+    // exchange, each re-evaluating the dup subtree). Positions arrive
+    // as per-window arrays; flatten + array_distinct dedups exactly as
+    // the old explode + distinct did.
+    val dupAgg = dup
       .select(col("doc_id"),
-        explode(sequence(col("start"), col("start") + (w - 1))).as("pos"))
-      .distinct()
+        sequence(col("start"), col("start") + (w - 1)).as("__ps"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("int").as("n_covered"),
-        collect_set(col("pos")).as("cov"))
+      .agg(count(lit(1)).cast("int").as("n_dup_windows"),
+        array_distinct(flatten(collect_list(col("__ps")))).as("cov"))
     val emptyCov = array().cast("array<int>")
+    val nToks = size(col("__toks"))
+    // LINEAR rebuild (round-5 VERDICT weak #1 / advisor: the per-token
+    // array_contains filter was O(tokens × covered) per doc — a
+    // straggler generator on a book-length boilerplate doc): array_except
+    // is hash-set based, so kept positions cost O(tokens + covered) and
+    // preserve ascending order; element_at re-maps them to tokens in
+    // O(1) each. Byte-identical rebuild: same positions, same order.
+    val keptPos = array_except(
+      when(nToks >= 1, sequence(lit(1), nToks)).otherwise(emptyCov),
+      coalesce(col("cov"), emptyCov))
     docs.withColumn("__toks", toks(col("text")))
       .join(dupAgg, Seq("doc_id"), "left")
-      .join(covAgg, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        when(size(col("__toks")) >= w, size(col("__toks")) - (w - 1))
+        when(nToks >= w, nToks - (w - 1))
           .otherwise(0).cast("int").as("n_windows"),
         coalesce(col("n_dup_windows"), lit(0)).as("n_dup_windows"),
-        coalesce(col("n_covered"), lit(0)).as("n_covered"),
+        coalesce(size(col("cov")), lit(0)).as("n_covered"),
         md5(to_binary(concat_ws(" ",
-          filter(col("__toks"), (t, i) =>
-            !array_contains(coalesce(col("cov"), emptyCov), i + 1))),
+          transform(keptPos, i => element_at(col("__toks"), i))),
           lit("utf-8"))).as("clean_md5"))
   }
 

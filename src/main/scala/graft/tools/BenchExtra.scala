@@ -1,0 +1,139 @@
+package graft.tools
+
+import graft.operators._
+import graft.{Bench, SparkEntry}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-6 optimization harness (guide §1.4): per-stage wall times for
+  * the expensive bench keys, each isolated through the noop sink so the
+  * computation is timed, not the sink. Separate main — Bench.scala is
+  * frozen for measurement. Numbers are cited in OPTIMIZATION_r06.md.
+  */
+object BenchExtra {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Bench.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val which = if (args.isEmpty) Set("clusters", "funnel", "triples", "incr")
+                else args.toSet
+
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def t(name: String)(body: => Unit): Unit = {
+      body // warm: JIT + broadcast + codegen
+      val s = (1 to 3).map(_ => Bench.time(body)).min
+      println(f"EXTRA $name%-28s $s%8.3f s")
+      System.out.flush()
+    }
+
+    if (which("clusters")) {
+      val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+      val mhDocs = Dedup.withPlantedDups(raw, 20)
+      val shDocs = Dedup.withPlantedDups(raw, 20, edit = false)
+      spark.sparkContext.setJobDescription("clusters: candidates")
+      t("clusters/cand") {
+        noop(Dedup.minhashPairs(mhDocs, 0.6).select("doc_a", "doc_b")
+          .unionByName(Dedup.simhashPairs(shDocs, 3).select("doc_a", "doc_b"))
+          .distinct())
+      }
+      val cand = Dedup.minhashPairs(mhDocs, 0.6).select("doc_a", "doc_b")
+        .unionByName(Dedup.simhashPairs(shDocs, 3).select("doc_a", "doc_b"))
+        .distinct()
+      spark.sparkContext.setJobDescription("clusters: verify")
+      t("clusters/verify") { noop(Dedup.verifyPairs(shDocs, cand, 0.6)) }
+      val edges = Dedup.verifyPairs(shDocs, cand, 0.6)
+        .select(col("doc_a").cast("long").as("doc_a"),
+          col("doc_b").cast("long").as("doc_b"))
+        .localCheckpoint()
+      spark.sparkContext.setJobDescription("clusters: cc loop")
+      t("clusters/cc-loop") { noop(Dedup.clusters(edges)) }
+      spark.sparkContext.setJobDescription(null)
+    }
+
+    if (which("cand")) {
+      val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+      val mhDocs = Dedup.withPlantedDups(raw, 20)
+      val shDocs = Dedup.withPlantedDups(raw, 20, edit = false)
+      t("cand/banded_sigs") { noop(Dedup.bandedSigs(mhDocs)) }
+      t("cand/minhash_pairs") { noop(Dedup.minhashPairs(mhDocs, 0.6)) }
+      t("cand/simhash_table") { noop(Dedup.simhashTable(shDocs)) }
+      t("cand/simhash_pairs") { noop(Dedup.simhashPairs(shDocs, 3)) }
+      t("cand/union_distinct") {
+        noop(Dedup.minhashPairs(mhDocs, 0.6).select("doc_a", "doc_b")
+          .unionByName(Dedup.simhashPairs(shDocs, 3).select("doc_a", "doc_b"))
+          .distinct())
+      }
+    }
+
+    if (which("funnel")) {
+      val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("source"), col("text"))
+      spark.sparkContext.setJobDescription("funnel: annotated")
+      t("funnel/annotated") { noop(Curation.annotated(raw)) }
+      val base = Curation.annotated(raw).localCheckpoint(false)
+      noop(base) // materialize once; stages below read the blocks
+      val surv = base.filter(col("lang_ok") && col("qual_ok") && col("decon_ok"))
+      spark.sparkContext.setJobDescription("funnel: span scrub over survivors")
+      t("funnel/scrub") {
+        noop(SpanDedup.spanScrub(surv.select(col("doc_id"), col("t_s").as("text"))))
+      }
+      val scrub = SpanDedup.spanScrub(surv.select(col("doc_id"), col("t_s").as("text")))
+        .select(col("doc_id"), col("n_covered"), col("clean_md5"))
+      val clean = surv.select(col("doc_id"), col("source"), col("n_s"))
+        .join(scrub, Seq("doc_id"))
+        .withColumn("n_clean", (col("n_s") - col("n_covered")).cast("long"))
+        .localCheckpoint(false)
+      noop(clean)
+      spark.sparkContext.setJobDescription("funnel: dedup+pack tails")
+      t("funnel/tails") {
+        val kept = clean.groupBy(col("clean_md5"))
+          .agg(min(col("doc_id")).as("doc_id"),
+            min_by(col("source"), col("doc_id")).as("source"),
+            min(col("n_clean")).as("n_tokens"))
+        noop(TextAnalysis.packGreedyOver(
+          kept.select(col("doc_id"), col("source"), col("n_tokens")),
+          Curation.Budget, Curation.Shards))
+      }
+      spark.sparkContext.setJobDescription("funnel: whole key")
+      t("funnel/WHOLE") { SparkEntry.queries("q_curation_funnel")(spark, sfDir).count() }
+      spark.sparkContext.setJobDescription(null)
+    }
+
+    if (which("triples")) {
+      val (docsPath, semiPath) = Bench.materialize(spark, sfDir)
+      import spark.implicits._
+      def docs = spark.read.parquet(docsPath).as[graft.model.Doc]
+        .repartition(graft.Pipeline.ingestPartitions(spark), col("doc_id"))
+      val semi = spark.read.parquet(semiPath).as[graft.model.SemiDoc]
+      spark.sparkContext.setJobDescription("triples: sentences")
+      t("triples/sentences") { noop(Extraction.sentences(docs).toDF()) }
+      spark.sparkContext.setJobDescription("triples: match_n2n")
+      t("triples/match_n2n") { noop(Extraction.matchN2n(Extraction.sentences(docs)).toDF()) }
+      val bc = spark.sparkContext.broadcast(Classification.defaultModel)
+      spark.sparkContext.setJobDescription("triples: classify")
+      t("triples/classify") {
+        noop(Classification.classify(
+          Extraction.matchN2n(Extraction.sentences(docs)), bc).toDF())
+      }
+      spark.sparkContext.setJobDescription("triples: text path")
+      t("triples/textpath") { noop(graft.Pipeline.textPath(docs)) }
+      spark.sparkContext.setJobDescription("triples: semi path")
+      t("triples/semi") { noop(Serialize.semiTriples(semi)) }
+      spark.sparkContext.setJobDescription("triples: full union+dedup")
+      t("triples/FULL") { graft.Pipeline.triplesOver(docs, semi).count() }
+      spark.sparkContext.setJobDescription(null)
+    }
+
+    if (which("incr")) {
+      val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+      val fresh = Dedup.withPlantedDups(raw, 20).filter(col("doc_id") >= 480)
+      spark.sparkContext.setJobDescription("incr: fresh banded sigs")
+      t("incr/banded_fresh") { noop(Dedup.bandedSigs(fresh)) }
+      spark.sparkContext.setJobDescription("incr: whole key (vs committed index)")
+      t("incr/WHOLE") { SparkEntry.queries("q_dedup_incremental")(spark, sfDir).count() }
+      spark.sparkContext.setJobDescription(null)
+    }
+
+    spark.stop()
+  }
+}

@@ -109,14 +109,19 @@ class PlanSpec extends SparkSuite {
   }
 
   test("indexed span scrub reads the committed windows table; corpus text scanned once") {
-    // both window-side stages must scan the committed span index; the
-    // documents table appears exactly once — the text rebuild
+    // the single-pass scrub (round 6) reads the committed span index
+    // EXACTLY once — the dup-key decision is a count window over the
+    // hash partition, not a groupBy + semi-join pair that read the
+    // index twice. One logical read = one parquet scan per committed
+    // snapshot dir (base write + the crawl append = 2); the old
+    // two-read shape showed 4. The documents table appears exactly
+    // once — the text rebuild
     val df = SparkEntry.queries("q_span_dedup_indexed")(spark, sf)
     val scans = df.queryExecution.sparkPlan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec =>
         f.relation.location.rootPaths.mkString(",")
     }
-    assert(scans.count(_.contains("graft_span_idx")) >= 2, scans.mkString("\n"))
+    assert(scans.count(_.contains("graft_span_idx")) === 2, scans.mkString("\n"))
     assert(scans.count(_.contains("documents.parquet")) === 1, scans.mkString("\n"))
     // the crawl-increment probe re-extracts only the FRESH batch: one
     // documents scan, corpus side from the index
