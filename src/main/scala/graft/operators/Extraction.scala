@@ -42,13 +42,28 @@ object Extraction {
       .toDF("lu_lemma", "frame", "lu_rank")
   }
 
-  /** Strategy n2n: one row per (sentence, matching LU). */
+  /** Strategy n2n: one row per (sentence, matching LU).
+    *
+    * The LU lemma set is known at PLAN TIME (a fixture dictionary), so
+    * the explode intersects each sentence's distinct lemmas with it
+    * FIRST (guide §3 — pre-filter the fan-out side): without the
+    * intersect every sentence fanned out once per distinct lemma
+    * (~15-20 rows, each dragging the full tokens array and text through
+    * the join probe) only for the broadcast join to drop all non-LU
+    * rows. Result rows are identical — explode(distinct ∩ luSet) ⋈ dict
+    * ≡ explode(distinct) ⋈ dict, since the inner join on lu_lemma keeps
+    * exactly the intersection; the join itself stays (a lemma can map
+    * to several frames, and J1 is the broadcast equi-join operator).
+    */
   def matchN2n(sents: Dataset[Sentence]): Dataset[LuSentence] = {
     val spark = sents.sparkSession
     import spark.implicits._
+    val luLemmas = Lexicon.luToFrame.keySet.toSeq.sorted
     sents
       .withColumn("lemma",
-        explode(array_distinct(expr("transform(tokens, t -> t.lemma)"))))
+        explode(array_intersect(
+          array_distinct(expr("transform(tokens, t -> t.lemma)")),
+          typedlit(luLemmas))))
       .join(broadcast(luDict(spark)), $"lemma" === $"lu_lemma")
       .select($"doc_id", $"sentence_offset", $"lu_lemma".as("lu"), $"frame",
         $"text", $"tokens", $"spans_sig")
