@@ -87,12 +87,17 @@ object Curation {
       .localCheckpoint(false)
     val (nTok, _, score) =
       TextAnalysis.learnedFeaturesOver(col("text"), col("__toks"))
+    // the scrubbed text is tokenized ONCE here and the array carried in
+    // the frame (round 6): n_s, the funnel's span-scrub window pass and
+    // its text rebuild all read __toks_s — before, each re-tokenized
+    // t_s from scratch (three regex-split passes over the survivors)
     val perRow = toked.select(
         col("doc_id"), col("source"), nTok.as("n_raw"),
         (TextAnalysis.langIdOver(col("__toks")) === "en").as("lang_ok"),
         (score > 0).as("qual_ok"),
         TextAnalysis.piiScrubbed(col("text")).as("t_s"))
-      .withColumn("n_s", size(TextAnalysis.toks(col("t_s"))))
+      .withColumn("__toks_s", TextAnalysis.toks(col("t_s")))
+      .withColumn("n_s", size(col("__toks_s")))
     // DECONTAMINATION gate: per-doc distinct-trigram overlap against
     // the broadcast eval-set shingles (contaminationOver — one corpus
     // shingle pass, nothing quadratic). Integer-exact rule — a doc is
@@ -151,9 +156,10 @@ object Curation {
     val surv = base.filter(
       col("lang_ok") && col("qual_ok") && col("decon_ok"))
     // span scrub over the SURVIVING corpus's redacted text: duplicate
-    // window keys are computed within what the earlier gates kept
-    val scrub = SpanDedup.spanScrub(
-        surv.select(col("doc_id"), col("t_s").as("text")))
+    // window keys are computed within what the earlier gates kept; the
+    // pre-tokenized seam reuses the checkpointed __toks_s array
+    val scrub = SpanDedup.spanScrubToked(
+        surv.select(col("doc_id"), col("__toks_s").as("__toks")))
       .select(col("doc_id"), col("n_covered"), col("clean_md5"))
     val clean = surv.select(col("doc_id"), col("source"), col("n_s"))
       .join(scrub, Seq("doc_id"))

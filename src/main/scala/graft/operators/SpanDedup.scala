@@ -147,12 +147,12 @@ object SpanDedup {
     * allocation. The committed-index path keeps `windows` (the table
     * stores the ngram strings; its h stays xxhash64(ngram)).
     */
-  private[operators] def windowKeys(docs: DataFrame, w: Int = W): DataFrame = {
+  private[operators] def windowKeysToked(toked: DataFrame, w: Int = W): DataFrame = {
     val winHashes = when(size(col("__th")) >= w,
         transform(sequence(lit(1), size(col("__th")) - (w - 1)), s =>
           xxhash64((0 until w).map(k => element_at(col("__th"), s + k)): _*)))
       .otherwise(array().cast("array<bigint>"))
-    docs.withColumn("__toks", toks(col("text")))
+    toked
       .withColumn("__th", transform(col("__toks"), t => xxhash64(t)))
       .select(col("doc_id"), posexplode(winHashes).as(Seq("__p", "h")))
       .select(col("doc_id"), (col("__p") + 1).as("start"), col("h"))
@@ -163,17 +163,26 @@ object SpanDedup {
     * pins byte equality of the rebuilt text. Output:
     * (doc_id, n_windows, n_dup_windows, n_covered, clean_md5).
     *
-    * Inline form — window keys come from the string-free `windowKeys`
-    * pass. `spanScrubOver` is the committed-index form.
+    * Inline form — window keys come from the string-free
+    * `windowKeysToked` pass. `spanScrubOver` is the committed-index
+    * form; `spanScrubToked` is the pre-tokenized seam the Curation
+    * funnel uses (its checkpoint already carries the token array, so
+    * neither the window pass nor the rebuild re-tokenizes).
     */
   def spanScrub(docs: DataFrame, w: Int = W): DataFrame =
-    spanScrubOver(docs, windowKeys(docs, w), w)
+    spanScrubToked(docs.withColumn("__toks", toks(col("text"))), w)
+
+  private[graft] def spanScrubToked(toked: DataFrame, w: Int = W): DataFrame =
+    scrubCore(toked, windowKeysToked(toked, w), w)
 
   /** The scrub over an explicit windows frame — pass `readWindows` of a
     * committed table and the corpus text is scanned exactly once (the
     * rebuild); the two window-side stages scan the index table.
     */
-  def spanScrubOver(docs: DataFrame, wins: DataFrame, w: Int = W): DataFrame = {
+  def spanScrubOver(docs: DataFrame, wins: DataFrame, w: Int = W): DataFrame =
+    scrubCore(docs.withColumn("__toks", toks(col("text"))), wins, w)
+
+  private def scrubCore(toked: DataFrame, wins: DataFrame, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // early projection: the scrub path needs only (doc_id, start, h) —
     // the window strings stay out of this shuffle entirely.
@@ -210,7 +219,7 @@ object SpanDedup {
     val keptPos = array_except(
       when(nToks >= 1, sequence(lit(1), nToks)).otherwise(emptyCov),
       coalesce(col("cov"), emptyCov))
-    docs.withColumn("__toks", toks(col("text")))
+    toked
       .join(dupAgg, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(nToks >= w, nToks - (w - 1))

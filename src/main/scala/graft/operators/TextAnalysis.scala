@@ -163,7 +163,7 @@ object TextAnalysis {
   /** Trigram windows of a token array (1-based; guarded — sequence()
     * DESCENDS when stop < start). Shared by repetition + contamination.
     */
-  private[operators] def triWindows(tokens: Column): Column = {
+  private[graft] def triWindows(tokens: Column): Column = {
     val n = size(tokens)
     when(n >= 3,
       transform(sequence(lit(1), n - 2), i =>

@@ -65,6 +65,46 @@ object BenchExtra {
       }
     }
 
+    if (which("annotated")) {
+      val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("source"), col("text"))
+      val toked0 = Curation.planted(raw)
+        .repartition(graft.Pipeline.ingestPartitions(spark), col("doc_id"))
+        .withColumn("__toks", TextAnalysis.toks(col("text")))
+      t("annotated/toked") { noop(toked0) }
+      val toked = toked0.localCheckpoint(false)
+      noop(toked)
+      val (nTok, _, score) =
+        TextAnalysis.learnedFeaturesOver(col("text"), col("__toks"))
+      val perRow = toked.select(
+          col("doc_id"), col("source"), nTok.as("n_raw"),
+          (TextAnalysis.langIdOver(col("__toks")) === "en").as("lang_ok"),
+          (score > 0).as("qual_ok"),
+          TextAnalysis.piiScrubbed(col("text")).as("t_s"))
+        .withColumn("n_s", size(TextAnalysis.toks(col("t_s"))))
+      t("annotated/perRow") { noop(perRow) }
+      val decon = TextAnalysis.contaminationOver(
+          toked.select(col("doc_id"), array_distinct(
+            TextAnalysis.triWindows(col("__toks"))).as("tris")),
+          Curation.BenchN)
+        .select(col("doc_id"),
+          (col("n_trigrams") === 0 ||
+            col("n_overlap") * 2 < col("n_trigrams")).as("decon_ok"))
+      t("annotated/decon") { noop(decon) }
+      t("annotated/join") { noop(perRow.join(decon, Seq("doc_id"))) }
+    }
+
+    if (which("verify2")) {
+      val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+      val mhDocs = Dedup.withPlantedDups(raw, 20)
+      val shDocs = Dedup.withPlantedDups(raw, 20, edit = false)
+      val cand = Dedup.minhashPairs(mhDocs, 0.6).select("doc_a", "doc_b")
+        .unionByName(Dedup.simhashPairs(shDocs, 3).select("doc_a", "doc_b"))
+        .distinct().localCheckpoint()
+      t("verify2/isolated") { noop(Dedup.verifyPairs(shDocs, cand, 0.6)) }
+      t("clusters/WHOLE") { SparkEntry.queries("q_dedup_clusters")(spark, sfDir).count() }
+    }
+
     if (which("funnel")) {
       val raw = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id"), col("source"), col("text"))
