@@ -20,6 +20,11 @@ package graft.functions
   */
 object Bpe {
 
+  /** Precompiled word pattern (round 6): String.split(regex)
+    * re-compiles per call; countText runs once per document.
+    */
+  private val NonAlpha = "[^a-z]+".r.pattern
+
   /** End-of-word marker symbol. */
   val Eow = "</w>"
 
@@ -133,7 +138,7 @@ object Bpe {
     def countText(text: String): Int = {
       if (text == null) return 0
       var n = 0
-      text.toLowerCase(java.util.Locale.ROOT).split("[^a-z]+").foreach(w => if (w.nonEmpty) n += countWord(w))
+      NonAlpha.split(text.toLowerCase(java.util.Locale.ROOT)).foreach(w => if (w.nonEmpty) n += countWord(w))
       n
     }
   }

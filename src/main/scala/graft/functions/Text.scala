@@ -17,8 +17,12 @@ object Text {
   private val iso = "\\d{4}-\\d{2}-\\d{2}".r.pattern
   private val slash = "\\d{1,2}/\\d{1,2}/\\d{4}".r.pattern
 
+  // precompiled (round 6): String.split(regex) re-compiles the pattern
+  // on every call — this runs once per sentence across the pipeline
+  private val ws = "\\s+".r.pattern
+
   def tokenize(text: String): Array[String] =
-    text.split("\\s+").filter(_.nonEmpty)
+    ws.split(text).filter(_.nonEmpty)
 
   /** Tag one token. POS tags: V*(verbs), NNM(month), CD(number/date
     * piece incl. ordinals), CA(circa marker), DM(decade modifier
@@ -31,10 +35,15 @@ object Text {
       case Some((pos, lemma)) => Tok(word, pos, lemma)
       case None =>
         if (Lexicon.monthIndex.contains(lw)) Tok(word, "NNM", lw)
-        else if (lw == "bc" || digits.matcher(lw).matches() ||
+        // digit guard (round 6): every CD pattern except the literal
+        // "bc" must start with a digit, so alphabetic tokens — the vast
+        // majority — skip all six Matcher allocations with one char
+        // test; match results are unchanged by construction
+        else if (lw == "bc" || (lw.nonEmpty && lw.charAt(0).isDigit &&
+                 (digits.matcher(lw).matches() ||
                  ordinal.matcher(lw).matches() || range.matcher(lw).matches() ||
                  decade.matcher(lw).matches() || iso.matcher(lw).matches() ||
-                 slash.matcher(lw).matches()) Tok(word, "CD", lw)
+                 slash.matcher(lw).matches()))) Tok(word, "CD", lw)
         else if (lw == "c.") Tok(word, "CA", lw)
         else if (lw == "early" || lw == "late") Tok(word, "DM", lw)
         else if (lw == "century") Tok(word, "NNT", lw)

@@ -15,6 +15,11 @@ import org.apache.spark.sql.Dataset
   */
 object Classification {
 
+  /** Precompiled year-range shape (round 6): this ran String.matches —
+    * a fresh Pattern.compile — once per (sentence, timerange FE).
+    */
+  private val YearRange = "\\d{3,4}[–-]\\d{3,4}".r.pattern
+
   /** The broadcastable model: LU->frame map, per-frame FE inventory,
     * FE->expected-entity-type constraints, gazetteer (alias -> etype of
     * its best link), and linear weights for the confidence score.
@@ -55,7 +60,7 @@ object Classification {
           typed.find(t => t._1 == "date" && t._2.nonEmpty && t._2.forall(_.isDigit))
             .map { case (_, txt) => Chunk(fe, "quantity", "", txt, 1.0) }
         } else if (feType == "timerange") {
-          typed.find(t => t._1 == "date" && t._2.matches("\\d{3,4}[–-]\\d{3,4}"))
+          typed.find(t => t._1 == "date" && YearRange.matcher(t._2).matches())
             .map { case (_, txt) => Chunk(fe, "timerange", "", txt, 1.0) }
         } else {
           val want = feEtype.getOrElse((s.frame, fe), "")

@@ -102,10 +102,23 @@ object Curation {
     // the broadcast eval-set shingles (contaminationOver — one corpus
     // shingle pass, nothing quadratic). Integer-exact rule — a doc is
     // clean iff 2*n_overlap < n_trigrams (no float rounding at the
-    // threshold, identical in DuckDB)
+    // threshold, identical in DuckDB).
+    // Round 6: the shingles are 64-bit HASH trigrams (xxhash64 over 3
+    // consecutive per-token hashes — the windowKeys trick) instead of
+    // built strings: token sequences map 1:1 to the old trigram
+    // strings, so distinct counts and the overlap join are value-
+    // identical up to 64-bit collisions, and the corpus-side explode
+    // carries longs, not strings. __th gets its own projection —
+    // Catalyst does not CSE inside lambda bodies.
+    val triHashes = when(size(col("__th")) >= 3,
+        transform(sequence(lit(1), size(col("__th")) - 2), i =>
+          xxhash64(element_at(col("__th"), i), element_at(col("__th"), i + 1),
+            element_at(col("__th"), i + 2))))
+      .otherwise(array().cast("array<bigint>"))
     val decon = TextAnalysis.contaminationOver(
-        toked.select(col("doc_id"), array_distinct(
-          TextAnalysis.triWindows(col("__toks"))).as("tris")),
+        toked.select(col("doc_id"), col("__toks"))
+          .withColumn("__th", transform(col("__toks"), t => xxhash64(t)))
+          .select(col("doc_id"), array_distinct(triHashes).as("tris")),
         BenchN)
       .select(col("doc_id"),
         (col("n_trigrams") === 0 ||

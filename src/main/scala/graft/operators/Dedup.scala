@@ -39,9 +39,14 @@ object Dedup {
       .drop("__bsize")
   }
 
+  /** Precompiled tokenizer pattern (round 6): String.split(regex)
+    * re-compiles per call; shingles/simhash run it per document.
+    */
+  private val NonAlnum = "[^a-z0-9]+".r.pattern
+
   /** 3-token shingle hashes of a text. */
   def shingles(text: String): Array[Long] = {
-    val toks = text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty)
+    val toks = NonAlnum.split(text.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
     if (toks.length < 3) Array(Det.hashStr(toks.mkString(" ")))
     else toks.sliding(3).map(w => Det.hashStr(w.mkString(" "))).toArray
   }
@@ -77,7 +82,7 @@ object Dedup {
 
   /** 64-bit SimHash over token hashes. */
   def simhash(text: String): Long = {
-    val toks = text.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty)
+    val toks = NonAlnum.split(text.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
     val acc = new Array[Int](64)
     toks.foreach { t =>
       val h = Det.hashStr(t)

@@ -9,6 +9,11 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Precompiled word pattern (round 6): String.split(regex)
+    * re-compiles per call; the BPE mapPartitions run it per document.
+    */
+  private val NonAlpha = "[^a-z]+".r.pattern
+
   /** Tiny per-language stopword sets for the n-gram/stopword-hit
     * language-ID heuristic.
     */
@@ -240,7 +245,7 @@ object TextAnalysis {
         it.map { case (id, t) =>
           val pieces: Array[String] =
             if (t == null) Array.empty
-            else t.toLowerCase(java.util.Locale.ROOT).split("[^a-z]+").filter(_.nonEmpty)
+            else NonAlpha.split(t.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
               .flatMap(enc.encodeWord)
           val tris =
             if (pieces.length < BpeShingleW) Array.empty[String]
@@ -407,7 +412,7 @@ object TextAnalysis {
         it.map { case (id, src, t) =>
           val nWords =
             if (t == null) 0
-            else t.toLowerCase(java.util.Locale.ROOT).split("[^a-z]+").count(_.nonEmpty)
+            else NonAlpha.split(t.toLowerCase(java.util.Locale.ROOT)).count(_.nonEmpty)
           (id, src, nWords, enc.countText(t))
         }
       }

@@ -58,6 +58,25 @@ class ExtractionSpec extends SparkSuite {
     assert(Extraction.matchSyntactic(auxOnly).count() === 0)
   }
 
+  test("n2n lemma pre-filter equals the unfiltered explode + join") {
+    // the round-6 array_intersect with the plan-time LU lemma set must
+    // not change the match set: compare against the unfiltered
+    // reference formulation on real sf0.001 sentences
+    import org.apache.spark.sql.functions.{array_distinct, broadcast, explode, expr}
+    val sents = Extraction.sentences(Pipeline.docsFor(spark, "/root/testdata/sf0.001"))
+    val reference = sents
+      .withColumn("lemma",
+        explode(array_distinct(expr("transform(tokens, t -> t.lemma)"))))
+      .join(broadcast(Extraction.luDict(spark)), $"lemma" === $"lu_lemma")
+      .select($"doc_id", $"sentence_offset", $"lu_lemma".as("lu"), $"frame")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3))).toSet
+    val filtered = Extraction.matchN2n(sents)
+      .select($"doc_id", $"sentence_offset", $"lu", $"frame")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3))).toSet
+    assert(filtered === reference)
+    assert(filtered.nonEmpty)
+  }
+
   test("span-sequence invariant: sig equals input for arbitrary docs") {
     val docs = graft.sources.Corpus.fixtureCorpus(spark, 80)
     val inSig = docs.toDF().select($"doc_id", SpanFns.spansSig($"spans").as("s1"))

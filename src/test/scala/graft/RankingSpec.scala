@@ -27,6 +27,21 @@ class RankingSpec extends SparkSuite {
       (2L, "hadoop", 1L), (2L, "hive", 2L)))
   }
 
+  test("shuffle-free tfFromDocs equals the exploded groupBy form exactly") {
+    // the round-6 per-row sort + run-length encode must reproduce the
+    // aggregation it replaced: same rows, same types (tf as BIGINT),
+    // including multi-run tokens, single-token docs and dedup within
+    // a doc — checked on the toy corpus AND the sf0.001 testdata
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    for (dir <- Seq(tmp, "/root/testdata/sf0.001")) {
+      val narrow = Ranking.tfFromDocs(spark, dir)
+      val exploded = Ranking.tf(Ranking.terms(spark, dir))
+      assert(narrow.dtypes === exploded.dtypes) // names+types (nullability may differ)
+      assert(asSet(narrow) === asSet(exploded))
+    }
+  }
+
   test("idf and popularity hand-checked") {
     val d = Ranking.dfIdf(Ranking.terms(spark, tmp), 3).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
