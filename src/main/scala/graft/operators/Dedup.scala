@@ -377,11 +377,16 @@ object Dedup {
     val spark = pairs.sparkSession
     import graft.sources.TableIO
     val snapPrefix = s"$runId-round-"
+    // repartition BEFORE distinct (round 6): hash partitioning by src
+    // satisfies the distinct's (src, dst) clustering (subset rule), so
+    // the dedup aggregate reuses the repartition's exchange — the old
+    // distinct-then-repartition order paid two shuffles for the same
+    // persisted layout
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct() // multi-detector unions repeat pairs
       .repartition(col("src"))
+      .distinct() // multi-detector unions repeat pairs
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // resume: adopt the last committed round's labels, continue there

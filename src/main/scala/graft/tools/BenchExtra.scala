@@ -115,9 +115,11 @@ object BenchExtra {
       val surv = base.filter(col("lang_ok") && col("qual_ok") && col("decon_ok"))
       spark.sparkContext.setJobDescription("funnel: span scrub over survivors")
       t("funnel/scrub") {
-        noop(SpanDedup.spanScrub(surv.select(col("doc_id"), col("t_s").as("text"))))
+        noop(SpanDedup.spanScrubToked(
+          surv.select(col("doc_id"), col("__toks_s").as("__toks"))))
       }
-      val scrub = SpanDedup.spanScrub(surv.select(col("doc_id"), col("t_s").as("text")))
+      val scrub = SpanDedup.spanScrubToked(
+          surv.select(col("doc_id"), col("__toks_s").as("__toks")))
         .select(col("doc_id"), col("n_covered"), col("clean_md5"))
       val clean = surv.select(col("doc_id"), col("source"), col("n_s"))
         .join(scrub, Seq("doc_id"))
