@@ -21,9 +21,12 @@ package graft.functions
 object Bpe {
 
   /** Precompiled word pattern (round 6): String.split(regex)
-    * re-compiles per call; countText runs once per document.
+    * re-compiles per call; countText runs once per document. ONE
+    * definition shared with TextAnalysis — BPE word counts and the
+    * word-count tokenizer they are compared against must never
+    * desynchronize.
     */
-  private val NonAlpha = "[^a-z]+".r.pattern
+  private[graft] val NonAlpha = "[^a-z]+".r.pattern
 
   /** End-of-word marker symbol. */
   val Eow = "</w>"

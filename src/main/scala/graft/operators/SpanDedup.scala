@@ -12,12 +12,18 @@ import org.apache.spark.sql.functions._
   *
   *   1. `windows`      — every W-token sliding window of every doc,
   *                       keyed by a 64-bit hash (one scan + explode);
-  *   2. `dupWindowKeys`— window hashes occurring in ≥2 DISTINCT docs
-  *                       (a hash groupBy — NO pairwise join: passage
-  *                       removal needs "is this window duplicated?",
-  *                       not who-with-whom, so the boilerplate case —
-  *                       the HOTTEST window — is detected rather than
-  *                       quadratically joined or cap-dropped);
+  *   2. duplicate detection — window hashes occurring in ≥2 DISTINCT
+  *                       docs (NO pairwise join: passage removal needs
+  *                       "is this window duplicated?", not
+  *                       who-with-whom, so the boilerplate case — the
+  *                       HOTTEST window — is detected rather than
+  *                       quadratically joined or cap-dropped). Since
+  *                       round 6 the scrub fuses this rule into a
+  *                       min≠max window aggregate over the hash
+  *                       partition (one pass, one exchange, O(1)
+  *                       state); `dupWindowKeys` remains the
+  *                       standalone dup-key-table form of the same
+  *                       rule (equivalence pinned in SpanDedupSpec);
   *   3. `spanScrub`    — per-doc duplicate-window metrics + the text
   *                       rebuilt WITHOUT tokens covered by any
   *                       duplicated window (md5-pinned byte equality);
@@ -27,10 +33,11 @@ import org.apache.spark.sql.functions._
   *                       fan-out on a 10^6-doc boilerplate bucket is
   *                       the usual quadratic trap.
   *
-  * Scale shape at 100 TB: stage 1 is embarrassingly parallel; stage 2
-  * shuffles (hash, doc_id) once and the dup-key table it emits is tiny
-  * next to the corpus; stage 3 is a second equi-join on the SAME hash
-  * partitioning (AQE reuses it) plus one per-doc agg. Window hashes are
+  * Scale shape at 100 TB: stage 1 is embarrassingly parallel; stages
+  * 2+3 shuffle the (hash, doc_id, start) rows by hash ONCE (the fused
+  * window aggregate), then once by doc_id for the per-doc coverage
+  * aggregate — the corpus text itself is touched only by the rebuild
+  * projection. Window hashes are
   * xxhash64 over the space-joined token window — at 10^14 windows the
   * expected number of 64-bit collisions is <1 (each would mark one
   * window falsely duplicated, never lose data); the DuckDB oracle
@@ -186,16 +193,22 @@ object SpanDedup {
     import org.apache.spark.sql.expressions.Window
     // early projection: the scrub path needs only (doc_id, start, h) —
     // the window strings stay out of this shuffle entirely.
-    // Duplicate-window rows in ONE pass: a collect_set count over the
-    // hash partition replaces the old groupBy(h) + left_semi join pair,
-    // which evaluated the windows subtree TWICE and shuffled it by h
-    // twice (guide §2.4 — two operations keyed the same way share one
-    // exchange). Same row set: a window row survives iff its h occurs
-    // in ≥2 distinct docs.
+    // Duplicate-window rows in ONE pass: a window aggregate over the
+    // hash partition replaces the old groupBy(h) + left_semi join pair
+    // (dupWindowKeys), which evaluated the windows subtree TWICE and
+    // shuffled it by h twice (guide §2.4 — two operations keyed the
+    // same way share one exchange). Same row set: a window row
+    // survives iff its h occurs in ≥2 distinct docs, tested as
+    // min(doc_id) ≠ max(doc_id) — O(1) aggregation state even on the
+    // hottest boilerplate hash (the scrub path is deliberately
+    // uncapped; a collect_set here would materialize that hash's whole
+    // doc-id set in one task, the kind of hot-bucket term this round
+    // removed elsewhere).
     val byH = Window.partitionBy(col("h"))
     val dup = wins.select(col("doc_id"), col("start"), col("h"))
-      .withColumn("__nd", size(collect_set(col("doc_id")).over(byH)))
-      .filter(col("__nd") >= 2)
+      .withColumn("__dup",
+        min(col("doc_id")).over(byH) =!= max(col("doc_id")).over(byH))
+      .filter(col("__dup"))
       .select(col("doc_id"), col("start"))
     // ONE per-doc aggregation carries the window count AND the covered-
     // position set (was: two aggregations plus a distinct's extra

@@ -9,10 +9,11 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Precompiled word pattern (round 6): String.split(regex)
-    * re-compiles per call; the BPE mapPartitions run it per document.
+  /** THE precompiled word pattern — graft.functions.Bpe.NonAlpha, not
+    * a local copy: the BPE word counts are compared against this
+    * tokenizer's counts, so the two must never desynchronize.
     */
-  private val NonAlpha = "[^a-z]+".r.pattern
+  private def NonAlpha = graft.functions.Bpe.NonAlpha
 
   /** Tiny per-language stopword sets for the n-gram/stopword-hit
     * language-ID heuristic.

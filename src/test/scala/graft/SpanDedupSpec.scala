@@ -22,6 +22,20 @@ class SpanDedupSpec extends SparkSuite {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("fused min!=max dup detection equals the standalone dupWindowKeys rule") {
+    // the round-6 scrub fuses the >=2-distinct-docs test into a window
+    // aggregate; the standalone dup-key-table operator must agree on
+    // exactly which hashes are duplicated
+    val wins = SpanDedup.windows(corpus)
+    val standalone = SpanDedup.dupWindowKeys(wins).collect().map(_.getLong(0)).toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"h")
+    val fused = wins
+      .withColumn("__dup", min($"doc_id").over(w) =!= max($"doc_id").over(w))
+      .filter($"__dup").select($"h").distinct().collect().map(_.getLong(0)).toSet
+    assert(fused === standalone)
+    assert(standalone.nonEmpty)
+  }
+
   test("only the cross-doc shared window is duplicated; covered tokens are removed") {
     val out = SpanDedup.spanScrub(corpus).collect()
       .map(r => r.getLong(0) -> r).toMap
